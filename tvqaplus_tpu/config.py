@@ -1,0 +1,264 @@
+"""Configuration system: typed dataclass + argparse CLI + opt.json round-trip.
+
+Re-designs the reference's two-tier argparse registry (``config.py:9-203``,
+``BaseOptions``/``TestOptions``) as a dataclass whose fields are the single
+source of truth for both the CLI and the persisted ``opt.json``:
+
+* every semantic flag of the reference is present with the same default
+  (lr 1e-3 / wd 3e-7 / bsz 16 / hsz 128 / scale 10 / alpha 20 / length caps
+  50/300/300/40 / num_region 25 / encoder configs, reference config.py:23-134);
+* ``parse()`` side effects are kept: timestamped results dir
+  (config.py:165), code self-snapshot ``code.zip`` (config.py:177-181),
+  per-replica batch scaling (config.py:187-188 — here by data-parallel mesh
+  size rather than GPU count), derived stream flags (config.py:190-192),
+  debug rewires (config.py:161-164), ``num_hard <= num_negatives`` assertion
+  (config.py:184);
+* ``TestConfig`` semantics: reload the training run's ``opt.json`` and
+  override every field except ``debug`` (config.py:169-174).
+
+TPU-specific additions live in their own block: static shape caps (the
+reference pads dynamically per batch; XLA needs fixed shapes), length
+bucketing, dtype policy, mesh axes.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from tvqaplus_tpu.utils.io import load_json, make_zipfile, mkdirp, save_json_pretty
+
+_BOOL_FIELDS = set()
+
+
+@dataclass
+class Config:
+    # -- bookkeeping ---------------------------------------------------
+    debug: bool = False
+    results_dir_base: str = "results/results"
+    results_dir: str = ""               # derived: results_dir_base + timestamp
+    log_freq: int = 800                 # validate/log every N train batches
+    seed: int = 2018
+
+    # -- training ------------------------------------------------------
+    lr: float = 1e-3
+    wd: float = 3e-7
+    n_epoch: int = 100
+    max_es_cnt: int = 5                 # early-stop patience (epochs)
+    bsz: int = 16                       # per-replica batch size
+    test_bsz: int = 16
+    device: int = 0                     # kept for opt.json parity; unused on TPU
+    device_ids: List[int] = field(default_factory=lambda: [0])
+    num_workers: int = 2
+    t_iter: int = 0                     # temporal-refinement iterations
+    t_layer_type: str = "linear"        # {"linear", "conv"}
+    extra_span_length: int = 3
+    ts_weight: float = 0.5
+    add_local: bool = False
+    input_streams: List[str] = field(default_factory=lambda: ["sub", "vfeat"])
+    vfeat_type: Optional[str] = None
+    no_core_driver: bool = False
+    no_glove: bool = False
+    learn_word_embedding: bool = False
+    clip: float = 10.0                  # grad-norm clip
+    resume: str = ""                    # checkpoint path; honored (unlike ref)
+    non_visual: int = 0                 # number of learned non-visual vectors
+    add_non_visual: bool = False
+    use_sup_att: bool = False
+    att_weight: float = 0.1
+    att_iou_thd: float = 0.5
+    margin: float = 0.1
+    num_region: int = 25
+    att_loss_type: str = "lse"          # {"hinge", "lse"}
+    scale: float = 10.0
+    alpha: float = 20.0
+    num_hard: int = 2
+    num_negatives: int = 2
+    hard_negative_start: int = 100
+    negative_pool_size: int = 0
+    drop_topk: int = 0
+
+    # -- length caps (reference config.py:88-99) ------------------------
+    max_sub_l: int = 50
+    max_vid_l: int = 300
+    max_vcpt_l: int = 300
+    max_q_l: int = 20
+    max_a_l: int = 15
+    max_qa_l: int = 40
+
+    # -- model ----------------------------------------------------------
+    embedding_size: int = 768           # BERT token embedding dim
+    hsz: int = 128
+    vocab_size: int = 0
+    dropout: float = 0.1
+    input_encoder_n_blocks: int = 1
+    input_encoder_n_conv: int = 2
+    input_encoder_kernel_size: int = 7
+    input_encoder_n_heads: int = 0
+    cls_encoder_n_blocks: int = 1
+    cls_encoder_n_conv: int = 2
+    cls_encoder_kernel_size: int = 5
+    cls_encoder_n_heads: int = 0
+
+    # -- data paths (same artifact contract as reference run_main.sh) ----
+    glove_path: str = "data/glove.6B.300d.txt"
+    word2idx_path: str = ""
+    eval_object_vocab_path: str = ""
+    qa_bert_path: str = ""
+    sub_bert_path: str = ""
+    train_path: str = ""
+    valid_path: str = ""
+    test_path: str = ""
+    vcpt_path: str = ""
+    vfeat_path: str = ""
+    vfeat_size: int = 300
+    sub_path: str = ""
+    frm_cnt_path: str = ""
+
+    # -- TPU-native block ------------------------------------------------
+    # Static shape caps.  max_num_img bounds the 0.5 fps image axis: with
+    # frame_interval 6 and the 300-frame cap (reference utils.py:159) there
+    # are at most ceil(300/6) = 50 sampled images.
+    max_num_img: int = 50
+    img_buckets: List[int] = field(default_factory=lambda: [16, 32, 50])
+    max_num_proposal: int = 1           # P = max_num_proposal + 1 slots
+    att_entry_cap: int = 64             # max positive att entries per example
+    compute_dtype: str = "float32"      # {"float32", "bfloat16"}
+    mesh_shape: List[int] = field(default_factory=lambda: [-1, 1])  # (data, ctx)
+    use_pallas: bool = False            # fused Pallas kernels for the hot ops
+    py2_offset_div: bool = False        # replicate python2 integer-div offset
+    synthetic_data: bool = False        # run on synthetic data (no artifacts)
+    synthetic_n_train: int = 256
+    synthetic_n_valid: int = 128
+    prefetch_depth: int = 2
+    profile_dir: str = ""               # if set, dump a jax.profiler trace
+
+    # -- derived (filled by finalize()) ----------------------------------
+    h5driver: Optional[str] = "core"
+    vfeat_flag: bool = True
+    vcpt_flag: bool = False
+    sub_flag: bool = True
+
+    def finalize(self, save=True, n_data_shards=1):
+        """Apply the reference's parse()-time side effects.
+
+        Args:
+          save: write opt.json + code.zip snapshot into results_dir.
+          n_data_shards: data-parallel mesh size; global batch = bsz *
+            n_data_shards (the reference scales by GPU count,
+            config.py:187-188).
+        """
+        assert self.num_hard <= self.num_negatives, (
+            "num_hard must be <= num_negatives")
+        assert self.att_loss_type in ("hinge", "lse")
+        assert self.t_layer_type in ("linear", "conv")
+        if self.debug:
+            base = self.results_dir_base.split("/")[0] + "/debug_results"
+            self.results_dir_base = base
+            self.no_core_driver = True
+            self.num_workers = 0
+        if not self.results_dir:
+            self.results_dir = self.results_dir_base + time.strftime(
+                "_%Y_%m_%d_%H_%M_%S")
+        self.bsz = self.bsz * n_data_shards
+        self.test_bsz = self.test_bsz * n_data_shards
+        self.h5driver = None if self.no_core_driver else "core"
+        self.vfeat_flag = "vfeat" in self.input_streams
+        self.vcpt_flag = "vcpt" in self.input_streams
+        self.sub_flag = "sub" in self.input_streams
+        if save:
+            mkdirp(self.results_dir)
+            save_json_pretty(self.to_dict(),
+                             os.path.join(self.results_dir, "opt.json"))
+            code_dir = os.path.dirname(os.path.realpath(__file__))
+            make_zipfile(code_dir,
+                         os.path.join(self.results_dir, "code.zip"),
+                         enclosing_dir="code",
+                         exclude_paths=["results", "__pycache__"],
+                         exclude_extensions=[".pyc", ".ipynb"])
+        return self
+
+    # -- (de)serialization -------------------------------------------------
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d):
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def save(self, path):
+        save_json_pretty(self.to_dict(), path)
+
+    @classmethod
+    def load(cls, path):
+        return cls.from_dict(load_json(path))
+
+    def override_from(self, saved_opt_path, keep=("debug",)):
+        """TestConfig semantics: every field from the saved run's opt.json
+        overrides this config, except fields in ``keep``
+        (reference config.py:169-174)."""
+        saved = load_json(saved_opt_path)
+        known = {f.name for f in dataclasses.fields(type(self))}
+        for k, v in saved.items():
+            if k in known and k not in keep:
+                setattr(self, k, v)
+        self.no_core_driver = True
+        self.h5driver = None
+        return self
+
+    # convenience views
+    @property
+    def max_len_dict(self):
+        return dict(max_sub_l=self.max_sub_l, max_vid_l=self.max_vid_l,
+                    max_vcpt_l=self.max_vcpt_l, max_qa_l=self.max_qa_l)
+
+
+def _add_field_arg(parser, f):
+    name = "--" + f.name
+    if f.type in ("bool", bool) or isinstance(f.default, bool):
+        parser.add_argument(name, action="store_true", default=None)
+        _BOOL_FIELDS.add(f.name)
+    elif f.default_factory is not dataclasses.MISSING:  # type: ignore
+        proto = f.default_factory()  # type: ignore
+        elem_t = type(proto[0]) if proto else str
+        parser.add_argument(name, nargs="+", type=elem_t, default=None)
+    else:
+        t = type(f.default) if f.default is not None else str
+        if t is type(None):
+            t = str
+        parser.add_argument(name, type=t, default=None)
+
+
+def build_parser(extra_fields=()):
+    """Build an argparse parser from the Config dataclass fields."""
+    parser = argparse.ArgumentParser(
+        description="TPU-native STAGE (TVQA+ video QA)")
+    for f in dataclasses.fields(Config):
+        if f.name in ("results_dir", "h5driver", "vfeat_flag", "vcpt_flag",
+                      "sub_flag"):
+            continue  # derived
+        _add_field_arg(parser, f)
+    for name, kwargs in extra_fields:
+        parser.add_argument(name, **kwargs)
+    return parser
+
+
+def parse_args(argv=None, extra_fields=(), save=True, n_data_shards=1):
+    """CLI entry: defaults come from Config, CLI flags override, then
+    finalize() applies derived side effects.  Returns (config, extra_ns)."""
+    parser = build_parser(extra_fields)
+    ns = parser.parse_args(argv)
+    cfg = Config()
+    extra_names = {n.lstrip("-").replace("-", "_") for n, _ in extra_fields}
+    extras = argparse.Namespace()
+    for k, v in vars(ns).items():
+        if k in extra_names:
+            setattr(extras, k, v)
+        elif v is not None:
+            setattr(cfg, k, v)
+    cfg.finalize(save=save, n_data_shards=n_data_shards)
+    return cfg, extras

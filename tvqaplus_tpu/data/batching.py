@@ -1,0 +1,160 @@
+"""Static-shape batch assembly (the TPU replacement for dynamic padding).
+
+The reference pads every batch to its own max lengths (tvqa_dataset.py:
+493-628) and clips in ``prepare_inputs`` (:631-688) — per-batch dynamic
+shapes, which would force an XLA recompile per batch.  Here every batch is
+padded to a **StaticShapeSpec** chosen from a small set of length buckets, so
+the jitted train step compiles once per bucket and never again.
+
+Batch contract (all numpy, fixed shapes; B=batch, A=5 answers):
+  qas         (B, A, Lqa)  int32   word ids
+  qas_mask    (B, A, Lqa)  f32
+  qas_bert    (B, A, Lqa, De) f32  fine-tuned BERT token embeddings
+  q_l         (B,)         int32   question length (tokens)
+  sub_bert    (B, Li, Ls, De) f32  frame-aligned subtitle embeddings
+  sub_mask    (B, Li, Ls)  f32
+  vid         (B, Li, Lr, Dv) f32  per-frame region features
+  vid_mask    (B, Li, Lr)  f32
+  target      (B,)         int32   correct-answer index (999 for test)
+  ts_st/ts_ed (B,)         int32   span labels on the sampled-image grid
+  ts_mask     (B, Li)      f32     valid image positions
+  att_labels  (B, Li, Lqa, Lr) f32 dense supervised-attention targets
+  att_defined (B, Li, Lqa, Lr) f32 1 where a label is defined (see labels.py)
+  anno_st     (B,)         int32   first annotated image index
+  ex_mask     (B,)         f32     1 for real examples (last batch padding)
+
+Host-side metadata (qid, vid_name, image_indices, boxes) rides next to the
+arrays and never crosses to the device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class StaticShapeSpec:
+    batch: int = 16
+    num_a: int = 5
+    max_qa_l: int = 40
+    max_img: int = 50
+    max_sub_l: int = 50
+    num_region: int = 25
+    bert_dim: int = 768
+    vfeat_dim: int = 300
+
+    @classmethod
+    def from_config(cls, cfg, batch=None, max_img=None):
+        return cls(batch=batch or cfg.bsz,
+                   num_a=5,
+                   max_qa_l=cfg.max_qa_l,
+                   max_img=max_img or cfg.max_num_img,
+                   max_sub_l=cfg.max_sub_l,
+                   num_region=cfg.num_region,
+                   bert_dim=cfg.embedding_size,
+                   vfeat_dim=cfg.vfeat_size)
+
+    def with_max_img(self, max_img):
+        return dataclasses.replace(self, max_img=max_img)
+
+
+def pick_bucket(n_img, buckets, cap):
+    """Smallest bucket >= n_img (clamped to cap)."""
+    n_img = min(n_img, cap)
+    for b in sorted(buckets):
+        if b >= n_img:
+            return min(b, cap)
+    return cap
+
+
+def zeros_batch(spec: StaticShapeSpec):
+    s = spec
+    return {
+        "qas": np.zeros((s.batch, s.num_a, s.max_qa_l), np.int32),
+        "qas_mask": np.zeros((s.batch, s.num_a, s.max_qa_l), np.float32),
+        "qas_bert": np.zeros((s.batch, s.num_a, s.max_qa_l, s.bert_dim), np.float32),
+        "q_l": np.zeros((s.batch,), np.int32),
+        "sub_bert": np.zeros((s.batch, s.max_img, s.max_sub_l, s.bert_dim), np.float32),
+        "sub_mask": np.zeros((s.batch, s.max_img, s.max_sub_l), np.float32),
+        "vid": np.zeros((s.batch, s.max_img, s.num_region, s.vfeat_dim), np.float32),
+        "vid_mask": np.zeros((s.batch, s.max_img, s.num_region), np.float32),
+        "target": np.zeros((s.batch,), np.int32),
+        "ts_st": np.zeros((s.batch,), np.int32),
+        "ts_ed": np.zeros((s.batch,), np.int32),
+        "ts_mask": np.zeros((s.batch, s.max_img), np.float32),
+        "att_labels": np.zeros((s.batch, s.max_img, s.max_qa_l, s.num_region), np.float32),
+        "att_defined": np.zeros((s.batch, s.max_img, s.max_qa_l, s.num_region), np.float32),
+        "anno_st": np.zeros((s.batch,), np.int32),
+        "ex_mask": np.zeros((s.batch,), np.float32),
+    }
+
+
+def collate_static(examples: List[dict], spec: StaticShapeSpec):
+    """Assemble ragged per-example dicts into one static-shape batch.
+
+    Each example dict carries (possibly ragged) fields:
+      qas: 5 lists of word ids; qas_bert: 5 arrays (L, De);
+      sub_bert: per-image arrays (Lw, De); vid: per-image arrays (cnt, Dv);
+      target, ts_label [st, ed], anno_st_idx, att_labels (dense arrays from
+      labels.densify_att_labels or ragged list), plus metadata fields.
+
+    Returns (arrays dict, meta dict).  Sequences longer than the spec are
+    clipped (the reference's ``prepare_inputs`` clipping contract,
+    tvqa_dataset.py:631-688).
+    """
+    s = spec
+    assert len(examples) <= s.batch, f"{len(examples)} > batch {s.batch}"
+    out = zeros_batch(s)
+    meta = {"qid": [], "vid_name": [], "image_indices": [], "boxes": [],
+            "ts": []}
+
+    for b, ex in enumerate(examples):
+        out["ex_mask"][b] = 1.0
+        # --- QA text -----------------------------------------------------
+        for a in range(s.num_a):
+            ids = np.asarray(ex["qas"][a], np.int32)[: s.max_qa_l]
+            out["qas"][b, a, : len(ids)] = ids
+            out["qas_mask"][b, a, : len(ids)] = 1.0
+            bert = np.asarray(ex["qas_bert"][a], np.float32)[: s.max_qa_l]
+            out["qas_bert"][b, a, : len(bert)] = bert
+        out["q_l"][b] = ex.get("q_l", 0)
+        # --- subtitles ----------------------------------------------------
+        sub_list = ex.get("sub_bert") or []
+        for i, arr in enumerate(sub_list[: s.max_img]):
+            arr = np.asarray(arr, np.float32)[: s.max_sub_l]
+            out["sub_bert"][b, i, : len(arr)] = arr
+            out["sub_mask"][b, i, : len(arr)] = 1.0
+        # --- video regions --------------------------------------------------
+        vid_list = ex.get("vfeat") or []
+        for i, arr in enumerate(vid_list[: s.max_img]):
+            arr = np.asarray(arr, np.float32)[: s.num_region]
+            out["vid"][b, i, : len(arr)] = arr
+            out["vid_mask"][b, i, : len(arr)] = 1.0
+        # --- labels ---------------------------------------------------------
+        out["target"][b] = ex.get("target", 999)
+        ts = ex.get("ts_label", [0, 0])
+        n_img = len(ex.get("image_indices", [])) or max(len(sub_list), len(vid_list))
+        n_img = min(n_img, s.max_img)
+        out["ts_st"][b] = min(ts[0], n_img - 1) if n_img else 0
+        out["ts_ed"][b] = min(ts[1], n_img - 1) if n_img else 0
+        out["ts_mask"][b, :n_img] = 1.0
+        out["anno_st"][b] = ex.get("anno_st_idx", 0)
+        att = ex.get("att_labels_dense")
+        if att is not None:
+            labels, defined = att
+            li = min(labels.shape[0], s.max_img)
+            lw = min(labels.shape[1], s.max_qa_l)
+            lr = min(labels.shape[2], s.num_region)
+            out["att_labels"][b, :li, :lw, :lr] = labels[:li, :lw, :lr]
+            out["att_defined"][b, :li, :lw, :lr] = defined[:li, :lw, :lr]
+        # --- metadata --------------------------------------------------------
+        meta["qid"].append(ex.get("qid", b))
+        meta["vid_name"].append(ex.get("vid_name", ""))
+        meta["image_indices"].append(ex.get("image_indices", []))
+        meta["boxes"].append(ex.get("boxes"))
+        meta["ts"].append(ex.get("ts"))
+
+    return out, meta

@@ -1,0 +1,128 @@
+"""Synthetic TVQA+-shaped data for tests, debug runs and benchmarks.
+
+Serves the role of the reference's ``--debug`` 100-video subset
+(run_main.sh:22-27) in an environment without the ~30 GB feature artifacts:
+generates examples with the exact ragged structure the real loaders produce,
+at realistic shapes, with an optional *planted signal* so training runs can
+demonstrate convergence:
+
+* the correct answer's BERT token embeddings share a low-rank component with
+  the in-span subtitle/video features;
+* the GT temporal span is where that component is strongest;
+* attention labels mark the regions carrying the component.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from tvqaplus_tpu.data.labels import densify_att_labels
+
+
+class SyntheticTVQADataset:
+    """Generates reference-structured examples deterministically by index."""
+
+    def __init__(self, cfg, n_examples=256, mode="train", planted_signal=True,
+                 seed=None):
+        self.cfg = cfg
+        self.n = n_examples
+        self.mode = mode
+        self.inference = mode == "test"
+        self.planted = planted_signal
+        self.seed = cfg.seed if seed is None else seed
+        self.bert_dim = cfg.embedding_size
+        self.vfeat_dim = cfg.vfeat_size
+        self.num_region = cfg.num_region
+        self.max_img = cfg.max_num_img
+        # shared low-rank "concept" dictionary for the planted signal
+        master = np.random.default_rng(self.seed)
+        self.n_concepts = 16
+        self.concept_bert = master.standard_normal(
+            (self.n_concepts, self.bert_dim)).astype(np.float32)
+        self.concept_vid = master.standard_normal(
+            (self.n_concepts, self.vfeat_dim)).astype(np.float32)
+
+    def __len__(self):
+        return self.n
+
+    def set_mode(self, mode):
+        self.mode = mode
+        self.inference = mode == "test"
+
+    def __getitem__(self, index):
+        cfg = self.cfg
+        rng = np.random.default_rng(
+            (self.seed, {"train": 1, "valid": 2, "test": 3}[self.mode], index))
+        n_img = int(rng.integers(8, self.max_img + 1))
+        q_l = int(rng.integers(5, cfg.max_q_l + 1))
+        a_ls = rng.integers(2, cfg.max_a_l + 1, size=5)
+        target = int(rng.integers(0, 5))
+        concept = int(rng.integers(0, self.n_concepts))
+        st = int(rng.integers(0, n_img))
+        ed = int(rng.integers(st, n_img))
+
+        sig_b = self.concept_bert[concept]
+        sig_v = self.concept_vid[concept]
+
+        def bert_tokens(n, planted=False):
+            x = rng.standard_normal((n, self.bert_dim)).astype(np.float32)
+            if planted and self.planted:
+                x = x + 2.0 * sig_b
+            return x
+
+        qas, qas_bert = [], []
+        q_ids = rng.integers(3, 1000, size=q_l)
+        q_bert = bert_tokens(q_l, planted=True)
+        for a in range(5):
+            a_ids = rng.integers(3, 1000, size=int(a_ls[a]))
+            qas.append(np.concatenate([q_ids, a_ids]).tolist())
+            qas_bert.append(np.concatenate(
+                [q_bert, bert_tokens(int(a_ls[a]), planted=(a == target))], axis=0))
+
+        sub_bert = []
+        for i in range(n_img):
+            n_tok = int(rng.integers(4, cfg.max_sub_l + 1))
+            x = rng.standard_normal((n_tok, self.bert_dim)).astype(np.float32)
+            if self.planted and st <= i <= ed:
+                x = x + 2.0 * sig_b
+            sub_bert.append(x)
+
+        region_cnts = rng.integers(5, self.num_region + 1, size=n_img)
+        vfeat, att_imgs = [], []
+        n_words = q_l + int(a_ls[target]) + 1
+        for i in range(n_img):
+            cnt = int(region_cnts[i])
+            x = rng.standard_normal((cnt, self.vfeat_dim)).astype(np.float32)
+            att = np.zeros((n_words, cnt), dtype=np.float32)
+            if self.planted and st <= i <= ed:
+                pos_region = int(rng.integers(0, cnt))
+                x[pos_region] = x[pos_region] + 2.0 * sig_v
+                pos_word = int(rng.integers(0, max(1, n_words - 1)))
+                att[pos_word, pos_region] = 1.0
+            vfeat.append(x)
+            att_imgs.append(att)
+
+        att_dense = densify_att_labels(
+            att_imgs, anno_st_idx=0, num_img=min(n_img, cfg.max_num_img),
+            num_words=cfg.max_qa_l, num_region=self.num_region)
+
+        image_indices = (np.arange(n_img) * 6 + 3).tolist()  # 1-indexed-ish
+        boxes = [[[float(rng.integers(0, 320)), float(rng.integers(0, 180)),
+                   float(rng.integers(320, 640)), float(rng.integers(180, 360))]
+                  for _ in range(int(region_cnts[i]))] for i in range(n_img)]
+
+        return {
+            "qid": index,
+            "vid_name": f"synthetic_{self.mode}_{index:05d}",
+            "qas": qas,
+            "qas_bert": qas_bert,
+            "q_l": q_l,
+            "sub_bert": sub_bert,
+            "vfeat": vfeat,
+            "target": target if not self.inference else 999,
+            "ts_label": [st, ed],
+            "ts": [st * 2.0, (ed + 1) * 2.0],
+            "anno_st_idx": 0,
+            "att_labels_dense": att_dense,
+            "image_indices": image_indices,
+            "boxes": boxes,
+        }

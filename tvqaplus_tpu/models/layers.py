@@ -1,0 +1,280 @@
+"""Core layers, designed TPU-first.
+
+Capability parity with the reference's ``model/{cnn,encoder,
+position_encoding,self_attention}.py`` and the two wrapper layers in
+``model/stage.py:15-52``, but with XLA-friendly formulations:
+
+* **DepthwiseSeparableConv** (reference cnn.py:6-47): instead of a grouped
+  conv1d (tiny channel groups that map poorly onto the MXU), the depthwise
+  stage is k static shifted elementwise FMAs (pure VPU work that XLA fuses
+  into one pass) and the pointwise stage is a single (L, D) @ (D, D') matmul
+  on the MXU.
+* **PositionEncoding** (reference position_encoding.py:6-43): a constant
+  sinusoid table folded into the graph; XLA constant-folds the add.
+* **EncoderBlock / StackedEncoder** (reference encoder.py:9-74): QANet-style
+  [posenc; n_conv x (LN -> dropout-on-even -> dsconv -> residual); optional
+  MHA + residual; final LN].  Dropout placement (every *other* conv layer,
+  encoder.py:41-42) is preserved for training-dynamics parity.
+* **MultiHeadedAttention** (reference self_attention.py:19-71): dormant under
+  the default head-count 0 but part of the surface.  The reference applies
+  its (N,1,L,1) mask over the *query* axis (self_attention.py:43,67); that
+  exact semantics is kept.
+* **LinearWrapper / ConvLinear** (reference stage.py:15-52): LN -> dropout ->
+  linear/conv (+ optional ReLU).
+
+All modules take a ``dtype`` for the compute precision (bfloat16 on TPU);
+parameters and layer norms stay float32.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# LayerNorm epsilon matching torch.nn.LayerNorm's default (1e-5).
+LN_EPS = 1e-5
+
+
+def mask_logits(target, mask):
+    """x*m + (1-m)*(-1e10): the reference's additive-mask idiom
+    (model_utils.py:14-15), used before max-pools and softmaxes."""
+    return target * mask + (1.0 - mask) * (-1e10)
+
+
+class LinearWrapper(nn.Module):
+    """[LayerNorm] -> Dropout -> Dense [-> ReLU]  (reference stage.py:15-32)."""
+    out_hsz: int
+    layer_norm: bool = True
+    dropout: float = 0.1
+    relu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        if self.layer_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, name="ln")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.out_hsz, dtype=self.dtype, name="fc")(x)
+        return nn.relu(x) if self.relu else x
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """Depthwise-separable 1-D conv, same-padded, optional ReLU.
+
+    Shift-and-FMA depthwise stage + matmul pointwise stage (see module
+    docstring).  Matches reference cnn.py:6-47 semantics: zero padding of
+    k//2 on both sides, depthwise bias, pointwise bias, ReLU applied after
+    the pointwise conv.
+    """
+    out_ch: int
+    kernel_size: int = 7
+    relu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (..., L, D)
+        d = x.shape[-1]
+        k = self.kernel_size
+        dw = self.param("depthwise", nn.initializers.lecun_normal(),
+                        (k, d))
+        dw_b = self.param("depthwise_bias", nn.initializers.zeros, (d,))
+        x = x.astype(self.dtype)
+        pad = k // 2
+        pad_widths = [(0, 0)] * (x.ndim - 2) + [(pad, pad), (0, 0)]
+        xp = jnp.pad(x, pad_widths)
+        L = x.shape[-2]
+        out = jnp.zeros_like(x)
+        for j in range(k):  # static unroll: k shifted elementwise FMAs
+            out = out + dw[j].astype(self.dtype) * jax.lax.slice_in_dim(
+                xp, j, j + L, axis=-2)
+        out = out + dw_b.astype(self.dtype)
+        out = nn.Dense(self.out_ch, dtype=self.dtype, name="pointwise")(out)
+        return nn.relu(out) if self.relu else out
+
+
+class ConvLinear(nn.Module):
+    """[LayerNorm] -> Dropout -> DepthwiseSeparableConv
+    (reference stage.py:35-52; the `conv` t_layer_type projection)."""
+    out_hsz: int
+    kernel_size: int = 3
+    layer_norm: bool = True
+    dropout: float = 0.1
+    relu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        if self.layer_norm:
+            x = nn.LayerNorm(epsilon=LN_EPS, name="ln")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return DepthwiseSeparableConv(self.out_hsz, self.kernel_size,
+                                      relu=self.relu, dtype=self.dtype,
+                                      name="conv")(x)
+
+
+def sinusoid_table(max_len, d, dtype=jnp.float32):
+    """Fixed sin/cos positional table (reference position_encoding.py:24-31)."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, d, 2, dtype=jnp.float32)
+                       * -(math.log(10000.0) / d))
+    angles = position * div_term  # (L, d/2)
+    pe = jnp.zeros((max_len, d), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles))
+    return pe.astype(dtype)
+
+
+class PositionEncoding(nn.Module):
+    """Broadcast-add sinusoidal positions to any (*, L, D) input."""
+    max_len: int = 500
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pe = sinusoid_table(self.max_len, x.shape[-1], self.dtype)
+        return x + pe[: x.shape[-2]]
+
+
+class MultiHeadedAttention(nn.Module):
+    """Annotated-Transformer MHA with the reference's query-axis padding mask
+    (self_attention.py:19-71).  Dormant at the default num_heads=0 but part
+    of the API surface (enabled via *_encoder_n_heads)."""
+    num_heads: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, train: bool):
+        n, l, d = x.shape
+        nh = self.num_heads
+        assert d % nh == 0
+        dk = d // nh
+        q = nn.Dense(d, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(d, dtype=self.dtype, name="v")(x)
+        q, k, v = (t.reshape(n, l, nh, dk).transpose(0, 2, 1, 3)
+                   for t in (q, k, v))
+        scores = jnp.einsum("nhqd,nhkd->nhqk", q, k) / math.sqrt(dk)
+        if mask is not None:
+            # (N, L) -> (N, 1, L, 1): masks *query* rows, reference quirk.
+            m = mask.reshape(n, 1, l, 1)
+            scores = jnp.where(m == 0, jnp.asarray(-1e9, scores.dtype), scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(n, l, d)
+        return nn.Dense(d, dtype=self.dtype, name="out")(out)
+
+
+class EncoderBlock(nn.Module):
+    """QANet-style conv encoder block (reference encoder.py:9-52)."""
+    n_conv: int = 2
+    kernel_size: int = 7
+    num_heads: int = 0
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, train: bool):
+        out = PositionEncoding(dtype=self.dtype, name="pos")(x)
+        for i in range(self.n_conv):
+            residual = out
+            out = nn.LayerNorm(epsilon=LN_EPS, name=f"ln_{i}")(out)
+            if i % 2 == 0:  # dropout on even conv layers only (encoder.py:41)
+                out = nn.Dropout(self.dropout, deterministic=not train)(out)
+            out = DepthwiseSeparableConv(
+                out.shape[-1], self.kernel_size, relu=True, dtype=self.dtype,
+                name=f"conv_{i}")(out)
+            out = out + residual
+        if self.num_heads:
+            residual = out
+            out = nn.LayerNorm(epsilon=LN_EPS, name="attn_ln")(out)
+            out = MultiHeadedAttention(
+                self.num_heads, self.dropout, dtype=self.dtype,
+                name="attn")(out, mask, train=train)
+            out = out + residual
+        return nn.LayerNorm(epsilon=LN_EPS, name="final_ln")(out)
+
+
+class StackedEncoder(nn.Module):
+    """n_blocks stacked EncoderBlocks (reference encoder.py:55-74)."""
+    n_blocks: int = 1
+    n_conv: int = 2
+    kernel_size: int = 7
+    num_heads: int = 0
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, train: bool):
+        for i in range(self.n_blocks):
+            x = EncoderBlock(self.n_conv, self.kernel_size, self.num_heads,
+                             self.dropout, self.dtype,
+                             name=f"block_{i}")(x, mask, train=train)
+        return x
+
+
+class MLPBridge(nn.Module):
+    """LN -> Dropout -> Dense -> ReLU -> LN: the `bert_word_encoding_fc` /
+    `vid_fc` / `concat_fc` recipe (reference stage.py:85-113)."""
+    out_hsz: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.LayerNorm(epsilon=LN_EPS, name="ln_in")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.out_hsz, dtype=self.dtype, name="fc")(x)
+        x = nn.relu(x)
+        return nn.LayerNorm(epsilon=LN_EPS, name="ln_out")(x)
+
+
+class InputEmbedding(nn.Module):
+    """Dropout -> Dense -> ReLU -> LN: `input_embedding`
+    (reference stage.py:115-120)."""
+    out_hsz: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.out_hsz, dtype=self.dtype, name="fc")(x)
+        x = nn.relu(x)
+        return nn.LayerNorm(epsilon=LN_EPS, name="ln_out")(x)
+
+
+class DownProjection(nn.Module):
+    """LN -> Dropout -> Dense -> ReLU: `c2q_down_projection`
+    (reference stage.py:133-138)."""
+    out_hsz: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.LayerNorm(epsilon=LN_EPS, name="ln")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.out_hsz, dtype=self.dtype, name="fc")(x)
+        return nn.relu(x)
+
+
+class NormalizeScale(nn.Module):
+    """L2-normalize then scale by a learned per-dim weight (reference
+    model_utils.py:23-34; unused by STAGE but part of the surface)."""
+    dim: int
+    init_norm: float = 20.0
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight",
+                       lambda _, shape: jnp.full(shape, self.init_norm),
+                       (self.dim,))
+        normed = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return normed * w

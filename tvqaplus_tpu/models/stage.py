@@ -1,0 +1,334 @@
+"""STAGE: Spatio-Temporal Answerer with Grounded Evidence, TPU-native.
+
+Re-designs the reference network (``model/stage.py:55-806``) as a flax
+module evaluated inside ONE jitted step:
+
+* the five candidate answers are a batch axis (folded, never looped);
+* frames (Li) are a batch axis for every per-frame op — encoding, structured
+  attention and the classifier encoder all run as single large batched
+  matmuls on the MXU;
+* span proposals are a fixed (max_num_proposal+1)-slot axis with 0/1 weights
+  (see spans.py) instead of the reference's ragged N_new batch, so training
+  keeps a static shape;
+* span search happens in-graph (the reference syncs to host numpy inside
+  forward every step, model_utils.py:102-111).
+
+Default hyper-surface matches reference config.py; every submodule cites its
+reference counterpart.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tvqaplus_tpu.models import spans
+from tvqaplus_tpu.models.attention import l2_normalize, structured_attention
+from tvqaplus_tpu.models.layers import (
+    ConvLinear,
+    DownProjection,
+    InputEmbedding,
+    LinearWrapper,
+    MLPBridge,
+    StackedEncoder,
+    mask_logits,
+)
+
+NUM_ANSWERS = 5
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static model hyper-parameters (subset of Config consumed on device)."""
+    hsz: int = 128
+    bridge_hsz: int = 300
+    embedding_size: int = 768
+    vfeat_size: int = 300
+    dropout: float = 0.1
+    scale: float = 10.0
+    t_iter: int = 0
+    t_layer_type: str = "linear"
+    extra_span_length: int = 3
+    add_local: bool = False
+    sub_flag: bool = True
+    vfeat_flag: bool = True
+    non_visual: int = 0
+    add_non_visual: bool = False
+    max_num_proposal: int = 1
+    input_encoder_n_blocks: int = 1
+    input_encoder_n_conv: int = 2
+    input_encoder_kernel_size: int = 7
+    input_encoder_n_heads: int = 0
+    cls_encoder_n_blocks: int = 1
+    cls_encoder_n_conv: int = 2
+    cls_encoder_kernel_size: int = 5
+    cls_encoder_n_heads: int = 0
+    compute_dtype: str = "float32"
+    use_pallas: bool = False
+
+    @classmethod
+    def from_config(cls, cfg):
+        return cls(
+            hsz=cfg.hsz,
+            embedding_size=cfg.embedding_size,
+            vfeat_size=cfg.vfeat_size,
+            dropout=cfg.dropout,
+            scale=cfg.scale,
+            t_iter=cfg.t_iter,
+            t_layer_type=cfg.t_layer_type,
+            extra_span_length=cfg.extra_span_length,
+            add_local=cfg.add_local,
+            sub_flag=cfg.sub_flag,
+            vfeat_flag=cfg.vfeat_flag,
+            non_visual=cfg.non_visual,
+            add_non_visual=cfg.add_non_visual,
+            max_num_proposal=cfg.max_num_proposal,
+            input_encoder_n_blocks=cfg.input_encoder_n_blocks,
+            input_encoder_n_conv=cfg.input_encoder_n_conv,
+            input_encoder_kernel_size=cfg.input_encoder_kernel_size,
+            input_encoder_n_heads=cfg.input_encoder_n_heads,
+            cls_encoder_n_blocks=cfg.cls_encoder_n_blocks,
+            cls_encoder_n_conv=cfg.cls_encoder_n_conv,
+            cls_encoder_kernel_size=cfg.cls_encoder_kernel_size,
+            cls_encoder_n_heads=cfg.cls_encoder_n_heads,
+            compute_dtype=cfg.compute_dtype,
+            use_pallas=cfg.use_pallas,
+        )
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+class STAGE(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        dt = c.dtype
+        # input projections (reference stage.py:85-138)
+        self.bert_word_encoding_fc = MLPBridge(c.bridge_hsz, c.dropout, dt)
+        if c.vfeat_flag:
+            self.vid_fc = MLPBridge(c.bridge_hsz, c.dropout, dt)
+        if c.sub_flag and c.vfeat_flag:
+            self.concat_fc = MLPBridge(c.hsz, c.dropout, dt)
+        self.input_embedding = InputEmbedding(c.hsz, c.dropout, dt)
+        self.input_encoder = StackedEncoder(
+            c.input_encoder_n_blocks, c.input_encoder_n_conv,
+            c.input_encoder_kernel_size, c.input_encoder_n_heads,
+            c.dropout, dt)
+        self.c2q_down_projection = DownProjection(c.hsz, c.dropout, dt)
+        self.cls_encoder = StackedEncoder(
+            c.cls_encoder_n_blocks, c.cls_encoder_n_conv,
+            c.cls_encoder_kernel_size, c.cls_encoder_n_heads, c.dropout, dt)
+        # temporal refinement chain (reference stage.py:147-178)
+        layers = [LinearWrapper(c.hsz, True, c.dropout, True, dt)]
+        for _ in range(c.t_iter):
+            layers.append(ConvLinear(c.hsz, 3, True, c.dropout, True, dt))
+        self.cls_projection_layers = layers
+        self.temporal_scoring_st_layers = [
+            LinearWrapper(1, True, c.dropout, False, dt)
+            for _ in range(c.t_iter + 1)]
+        self.temporal_scoring_ed_layers = [
+            LinearWrapper(1, True, c.dropout, False, dt)
+            for _ in range(c.t_iter + 1)]
+        self.classifier = LinearWrapper(1, True, c.dropout, False, dt)
+        if c.non_visual > 0:
+            self.non_visual_vectors = self.param(
+                "non_visual_vectors", nn.initializers.normal(0.02),
+                (c.non_visual, c.hsz))
+        else:
+            self.non_visual_vectors = None
+
+    # ------------------------------------------------------------------
+    def base_encoder(self, data, mask, init_encoder, *, train):
+        """init bridge -> downsize -> stacked conv encoder
+        (reference stage.py:350-363)."""
+        x = init_encoder(data, train=train)
+        x = self.input_embedding(x, train=train)
+        return self.input_encoder(x, mask, train=train)
+
+    def qa_ctx_attention(self, qa_embed, ctx_embed, qa_mask, ctx_mask, *,
+                         train, use_void=False):
+        """Structured attention + BiDAF-style fusion
+        (reference stage.py:365-387)."""
+        c = self.cfg
+        rng = self.make_rng("dropout") if train else None
+        void = self.non_visual_vectors if use_void else None
+        u_a, raw_s, s_mask, s_norm = structured_attention(
+            qa_embed, ctx_embed, qa_mask, ctx_mask, scale=c.scale,
+            dropout_rate=c.dropout if train else 0.0, dropout_rng=rng,
+            void_vector=void, add_void=c.add_non_visual)
+        num_img = ctx_mask.shape[2]
+        qa_b = jnp.broadcast_to(
+            qa_embed, qa_embed.shape[:2] + (num_img,) + qa_embed.shape[3:])
+        mixed = jnp.concatenate([qa_b, u_a, qa_b * u_a], axis=-1)
+        mixed = self.c2q_down_projection(mixed, train=train)
+        mixed_mask = (jnp.sum(s_mask, -1) != 0).astype(jnp.float32)
+        return mixed, mixed_mask, raw_s, s_norm
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch, *, train: bool):
+        """Forward pass.
+
+        Args:
+          batch: static-shape dict (see data/batching.py).
+          train: enables dropout and the GT-anchored proposal branch.
+
+        Returns a dict:
+          answer_scores: (B, P, A) train+add_local / (B, A) otherwise
+          proposal_weights: (B, P) (ones when not add_local)
+          t_scores: (B, A, Li, 2) masked span logits
+          sub_raw_s / vid_raw_s: raw cosine scores (for att loss/predictions)
+        """
+        c = self.cfg
+        bsz, num_a, lqa = batch["qas_mask"].shape
+        out = {}
+
+        a_embed = self.base_encoder(
+            batch["qas_bert"].reshape(bsz * num_a, lqa, -1),
+            batch["qas_mask"].reshape(bsz * num_a, lqa),
+            self.bert_word_encoding_fc, train=train)
+        a_embed = a_embed.reshape(bsz, num_a, 1, lqa, c.hsz)
+        a_mask = batch["qas_mask"].reshape(bsz, num_a, 1, lqa)
+
+        attended_sub = attended_vid = None
+        attended_sub_mask = attended_vid_mask = None
+        if c.sub_flag:
+            _, num_img, num_words, _ = batch["sub_bert"].shape
+            sub_embed = self.base_encoder(
+                batch["sub_bert"].reshape(bsz * num_img, num_words, -1),
+                batch["sub_mask"].reshape(bsz * num_img, num_words),
+                self.bert_word_encoding_fc, train=train)
+            sub_embed = sub_embed.reshape(bsz, 1, num_img, num_words, c.hsz)
+            sub_mask = batch["sub_mask"].reshape(bsz, 1, num_img, num_words)
+            attended_sub, attended_sub_mask, sub_raw_s, sub_norm_s = \
+                self.qa_ctx_attention(a_embed, sub_embed, a_mask, sub_mask,
+                                      train=train)
+            out["sub_raw_s"], out["sub_normalized_s"] = sub_raw_s, sub_norm_s
+
+        if c.vfeat_flag:
+            _, num_img, num_region, _ = batch["vid"].shape
+            vid_embed = l2_normalize(batch["vid"])  # (stage.py:256)
+            vid_embed = self.base_encoder(
+                vid_embed.reshape(bsz * num_img, num_region, -1),
+                batch["vid_mask"].reshape(bsz * num_img, num_region),
+                self.vid_fc, train=train)
+            vid_embed = vid_embed.reshape(bsz, 1, num_img, num_region, c.hsz)
+            vid_mask = batch["vid_mask"].reshape(bsz, 1, num_img, num_region)
+            attended_vid, attended_vid_mask, vid_raw_s, vid_norm_s = \
+                self.qa_ctx_attention(a_embed, vid_embed, a_mask, vid_mask,
+                                      train=train,
+                                      use_void=c.non_visual > 0)
+            out["vid_raw_s"], out["vid_normalized_s"] = vid_raw_s, vid_norm_s
+
+        if c.sub_flag and c.vfeat_flag:
+            statement = jnp.concatenate(
+                [attended_sub, attended_vid, attended_sub * attended_vid], -1)
+            statement = self.concat_fc(statement, train=train)
+            statement_mask = attended_vid_mask
+        elif c.sub_flag:
+            statement, statement_mask = attended_sub, attended_sub_mask
+        elif c.vfeat_flag:
+            statement, statement_mask = attended_vid, attended_vid_mask
+        else:
+            raise NotImplementedError("need at least one of sub/vfeat streams")
+
+        scores, weights, t_scores = self.classifier_head_multi_proposal(
+            statement, statement_mask, batch, train=train)
+        out["answer_scores"] = scores
+        out["proposal_weights"] = weights
+        out["t_scores"] = t_scores
+        return out
+
+    # ------------------------------------------------------------------
+    def residual_temporal_predictor(self, layer_idx, x, *, train):
+        """x += proj(x); score st/ed heads (reference stage.py:469-482)."""
+        x = x + self.cls_projection_layers[layer_idx](x, train=train)
+        st = self.temporal_scoring_st_layers[layer_idx](x, train=train)
+        ed = self.temporal_scoring_ed_layers[layer_idx](x, train=train)
+        return x, jnp.concatenate([st, ed], axis=-1)
+
+    def classifier_head_multi_proposal(self, statement, statement_mask, batch,
+                                       *, train):
+        """Answer scoring over (local span + global) pooled statements
+        (reference stage.py:484-537).
+
+        statement: (B, A, Li, Lqa, D); statement_mask: (B, A, Li, Lqa).
+        """
+        c = self.cfg
+        bsz, num_a, num_img, num_words = statement_mask.shape
+        flat = statement.reshape(bsz * num_a * num_img, num_words, c.hsz)
+        flat_mask = statement_mask.reshape(bsz * num_a * num_img, num_words)
+        encoded = self.cls_encoder(flat, flat_mask, train=train)
+        max_statement = jnp.max(
+            mask_logits(encoded, flat_mask[..., None]), axis=1)
+        max_statement_mask = (jnp.sum(flat_mask, 1) != 0).astype(
+            jnp.float32).reshape(bsz, num_a, num_img, 1)
+        x = max_statement.reshape(bsz * num_a, num_img, c.hsz)
+
+        # temporal chain.  Note the reference's ensemble quirk
+        # (stage.py:515-516): 0.5*(t0 + stack(container[:1]).mean(0)) == t0,
+        # so the span scores are ALWAYS layer 0's; layers i>0 only extend the
+        # (gradient-dead) chain.  Replicated exactly.
+        t0 = None
+        for i in range(c.t_iter + 1):
+            x, t = self.residual_temporal_predictor(i, x, train=train)
+            if i == 0:
+                t0 = t
+                stacked_max_statement = x.reshape(bsz, num_a, num_img, c.hsz)
+        t_scores = t0.reshape(bsz, num_a, num_img, 2)
+        t_scores = mask_logits(
+            t_scores, batch["ts_mask"].reshape(bsz, 1, num_img, 1))
+
+        if c.add_local:
+            pooled, weights = self._proposal_pooling(
+                stacked_max_statement, max_statement_mask, t_scores, batch,
+                train=train)
+            # train: pooled (B, P, A, 2D) -> scores (B, P, A)
+            # eval:  pooled (B, A, 2D)    -> scores (B, A)
+            scores = self.classifier(pooled, train=train)[..., 0]
+        else:
+            global_pool = jnp.max(
+                mask_logits(stacked_max_statement, max_statement_mask),
+                axis=2)  # (B, A, D)
+            scores = self.classifier(global_pool, train=train)[..., 0]
+            weights = jnp.ones((bsz, 1), jnp.float32)
+        return scores, weights, t_scores
+
+    def _proposal_pooling(self, x, msm, t_scores, batch, *, train):
+        """Local+global masked max-pools over proposal windows.
+
+        x: (B, A, Li, D) level-0 encoded statements;
+        msm: (B, A, Li, 1) valid-image mask.
+        """
+        c = self.cfg
+        bsz, num_a, num_img, _ = x.shape
+        valid = msm[..., 0]                                   # (B, A, Li)
+        global_pool = jnp.max(mask_logits(x, msm), axis=2)     # (B, A, D)
+        if train:
+            # GT-anchored proposals from the correct answer's span scores
+            # (stage.py:408-418); scores detached as in the reference (.data)
+            t_ca = jax.lax.stop_gradient(
+                t_scores[jnp.arange(bsz), batch["target"]])    # (B, Li, 2)
+            st, ed_excl, weights = spans.training_proposals(
+                t_ca, batch["ts_st"], batch["ts_ed"],
+                batch["ts_mask"], max_num_proposal=c.max_num_proposal)
+            # window masks (B, P, Li) -> (B, P, A, Li)
+            wmask = spans.expand_window_mask(
+                st, ed_excl, num_img, extra=c.extra_span_length)
+            wmask = wmask[:, :, None, :] * valid[:, None, :, :]
+            local = jnp.max(
+                mask_logits(x[:, None], wmask[..., None]), axis=3)
+            glob = jnp.broadcast_to(global_pool[:, None],
+                                    local.shape)               # (B,P,A,D)
+            return jnp.concatenate([local, glob], -1), weights
+        else:
+            st, ed_excl = spans.eval_proposals(t_scores, batch["ts_mask"])
+            wmask = spans.expand_window_mask(
+                st, ed_excl, num_img, extra=c.extra_span_length) * valid
+            local = jnp.max(mask_logits(x, wmask[..., None]), axis=2)
+            return (jnp.concatenate([local, global_pool], -1),
+                    jnp.ones((bsz, 1), jnp.float32))
