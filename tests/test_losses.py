@@ -1,0 +1,242 @@
+"""Loss tests against hand-computed / brute-force oracles that implement the
+reference semantics (main.py:55-60, stage.py:539-555, stage.py:613-746)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tvqaplus_tpu.models import losses
+
+
+def np_log_softmax(x):
+    x = x - x.max(-1, keepdims=True)
+    return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+
+def test_cls_loss_eval_matches_ce_sum():
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((4, 5)).astype(np.float32)
+    targets = np.array([0, 1, 2, 3])
+    ex_mask = np.ones(4, np.float32)
+    loss, n_correct, n_total = losses.cls_loss(
+        jnp.array(logits), jnp.ones((4, 1)), jnp.array(targets),
+        jnp.array(ex_mask))
+    oracle = -np_log_softmax(logits)[np.arange(4), targets].sum()
+    assert abs(float(loss) - oracle) < 1e-4
+    assert float(n_total) == 4
+
+
+def test_cls_loss_train_proposal_rescale():
+    """With P proposal slots and weights w, loss must equal the reference's
+    CE_sum over the expanded N_new batch scaled by N/N_new (main.py:59)."""
+    rng = np.random.default_rng(1)
+    b, p, a = 3, 2, 5
+    logits = rng.standard_normal((b, p, a)).astype(np.float32)
+    targets = np.array([1, 2, 3])
+    weights = np.array([[1, 1], [1, 0], [1, 1]], np.float32)
+    ex_mask = np.ones(b, np.float32)
+    loss, _, n_eff = losses.cls_loss(
+        jnp.array(logits), jnp.array(weights), jnp.array(targets),
+        jnp.array(ex_mask))
+    # oracle: expand to rows where w=1 (N_new = 5), CE-sum * (3/5)
+    rows, tgts = [], []
+    for i in range(b):
+        for j in range(p):
+            if weights[i, j]:
+                rows.append(logits[i, j])
+                tgts.append(targets[i])
+    rows = np.stack(rows)
+    ce = -np_log_softmax(rows)[np.arange(len(rows)), tgts].sum()
+    oracle = ce * (b / len(rows))
+    assert abs(float(loss) - oracle) < 1e-4
+    assert float(n_eff) == 5
+
+
+def test_cls_loss_ignores_padded_examples():
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((4, 5)).astype(np.float32)
+    targets = np.array([0, 1, 0, 0])
+    ex_mask = np.array([1, 1, 0, 0], np.float32)
+    loss, _, n = losses.cls_loss(jnp.array(logits), jnp.ones((4, 1)),
+                                 jnp.array(targets), jnp.array(ex_mask))
+    oracle = -np_log_softmax(logits[:2])[np.arange(2), targets[:2]].sum()
+    assert abs(float(loss) - oracle) < 1e-4
+    assert float(n) == 2
+
+
+def test_ts_loss_matches_oracle():
+    rng = np.random.default_rng(3)
+    b, a, li = 3, 5, 7
+    t = rng.standard_normal((b, a, li, 2)).astype(np.float32)
+    st = np.array([0, 2, 4])
+    ed = np.array([1, 3, 6])
+    targets = np.array([0, 1, 2])
+    loss = losses.ts_loss(jnp.array(t), jnp.array(st), jnp.array(ed),
+                          jnp.array(targets), jnp.ones(b, np.float32))
+    ca = t[np.arange(b), targets]  # (B, Li, 2)
+    l_st = -np_log_softmax(ca[:, :, 0])[np.arange(b), st].sum()
+    l_ed = -np_log_softmax(ca[:, :, 1])[np.arange(b), ed].sum()
+    assert abs(float(loss) - (l_st + l_ed) / 2) < 1e-4
+
+
+def _att_inputs(rng, b=2, a=5, li=4, lw=6, lr=5):
+    scores = rng.uniform(-1, 1, (b, a, li, lw, lr)).astype(np.float32)
+    labels = np.zeros((b, li, lw, lr), np.float32)
+    defined = np.zeros((b, li, lw, lr), np.float32)
+    return scores, labels, defined
+
+
+def test_att_loss_single_negative_deterministic():
+    """With exactly one negative in each group the uniform sampling is
+    deterministic, so the loss equals the brute-force reference sum."""
+    rng = np.random.default_rng(4)
+    scores, labels, defined = _att_inputs(rng)
+    targets = np.array([1, 3])
+    # example 0: img 1, word 2: region 0 positive, region 1 negative
+    defined[0, 1, 2, :2] = 1
+    labels[0, 1, 2, 0] = 1.0
+    # example 1: img 0, word 0: regions 0,1 positive, region 2 negative
+    defined[1, 0, 0, :3] = 1
+    labels[1, 0, 0, 0] = 0.5
+    labels[1, 0, 0, 1] = 0.5
+
+    k = 2  # num_negatives
+    loss, aux = losses.att_loss(
+        jnp.array(scores), jnp.array(labels), jnp.array(defined),
+        jnp.array(targets), jnp.ones(2, np.float32), jax.random.PRNGKey(0),
+        num_negatives=k, loss_type="lse", alpha=20.0)
+    # brute force: each positive paired with the single negative, k times
+    def lse(pos, neg):
+        return np.log1p(np.exp(20.0 * (neg - pos)))
+    pred0 = scores[0, 1]
+    pred1 = scores[1, 3]
+    oracle = k * lse(pred0[1, 2, 0], pred0[1, 2, 1])
+    oracle += k * lse(pred1[0, 0, 0], pred1[0, 0, 2])
+    oracle += k * lse(pred1[0, 0, 1], pred1[0, 0, 2])
+    assert abs(float(loss) - oracle) < 1e-4
+    assert float(aux["att_n_pairs"]) == 3 * k
+    assert float(aux["att_n_pos_dropped"]) == 0
+
+
+def test_att_loss_hinge():
+    rng = np.random.default_rng(5)
+    scores, labels, defined = _att_inputs(rng)
+    targets = np.array([0, 0])
+    defined[0, 0, 0, :2] = 1
+    labels[0, 0, 0, 0] = 1.0
+    loss, _ = losses.att_loss(
+        jnp.array(scores), jnp.array(labels), jnp.array(defined),
+        jnp.array(targets), jnp.ones(2, np.float32), jax.random.PRNGKey(0),
+        num_negatives=1, loss_type="hinge", margin=0.1)
+    pos = scores[0, 0, 0, 0, 0]
+    neg = scores[0, 0, 0, 0, 1]
+    oracle = max(0.0, 0.1 + neg - pos)
+    assert abs(float(loss) - oracle) < 1e-5
+
+
+def test_att_loss_hard_negatives_rank_assignment():
+    """Hard mode, no pool: pair j of a group takes the (drop_topk + j)-th
+    highest-scoring negative, with j = k*n_pos + entry_rank
+    (stage.py:576,606)."""
+    rng = np.random.default_rng(6)
+    b, a, li, lw, lr = 1, 5, 2, 3, 6
+    scores = rng.uniform(-1, 1, (b, a, li, lw, lr)).astype(np.float32)
+    labels = np.zeros((b, li, lw, lr), np.float32)
+    defined = np.zeros((b, li, lw, lr), np.float32)
+    # group (img 0, word 1): positives r=0, r=2; negatives r=1,3,4,5
+    defined[0, 0, 1, :] = 1
+    labels[0, 0, 1, 0] = 0.5
+    labels[0, 0, 1, 2] = 0.5
+    targets = np.array([2])
+    k = 2
+    loss, _ = losses.att_loss(
+        jnp.array(scores), jnp.array(labels), jnp.array(defined),
+        jnp.array(targets), jnp.ones(1, np.float32), jax.random.PRNGKey(0),
+        num_negatives=k, loss_type="hinge", margin=0.1,
+        use_hard_negatives=True)
+    pred = scores[0, 2, 0, 1]  # (Lr,)
+    negs = [1, 3, 4, 5]
+    order = sorted(negs, key=lambda r: -pred[r])
+    # pairs: j=0 -> (pos r0, order[0]); j=1 -> (pos r2, order[1]);
+    #        j=2 -> (pos r0, order[2]); j=3 -> (pos r2, order[3])
+    pos_seq = [0, 2, 0, 2]
+    oracle = sum(max(0.0, 0.1 + pred[order[j]] - pred[pos_seq[j]])
+                 for j in range(4))
+    assert abs(float(loss) - oracle) < 1e-5
+
+
+def test_att_loss_hard_negatives_drop_topk():
+    rng = np.random.default_rng(7)
+    b, a, li, lw, lr = 1, 5, 1, 2, 6
+    scores = rng.uniform(-1, 1, (b, a, li, lw, lr)).astype(np.float32)
+    labels = np.zeros((b, li, lw, lr), np.float32)
+    defined = np.zeros((b, li, lw, lr), np.float32)
+    defined[0, 0, 0, :] = 1
+    labels[0, 0, 0, 0] = 1.0  # 1 positive, 5 negatives
+    targets = np.array([0])
+    loss, _ = losses.att_loss(
+        jnp.array(scores), jnp.array(labels), jnp.array(defined),
+        jnp.array(targets), jnp.ones(1, np.float32), jax.random.PRNGKey(0),
+        num_negatives=1, loss_type="hinge", margin=0.1,
+        use_hard_negatives=True, drop_topk=2)
+    pred = scores[0, 0, 0, 0]
+    order = sorted(range(1, 6), key=lambda r: -pred[r])
+    oracle = max(0.0, 0.1 + pred[order[2]] - pred[0])  # rank drop_topk+0
+    assert abs(float(loss) - oracle) < 1e-5
+
+
+def test_att_loss_no_positives_is_zero():
+    rng = np.random.default_rng(8)
+    scores, labels, defined = _att_inputs(rng)
+    loss, aux = losses.att_loss(
+        jnp.array(scores), jnp.array(labels), jnp.array(defined),
+        jnp.array([0, 0]), jnp.ones(2, np.float32), jax.random.PRNGKey(0))
+    assert float(loss) == 0.0
+    assert float(aux["att_n_pairs"]) == 0
+
+
+def test_att_loss_uniform_sampling_distribution():
+    """Negatives must be drawn uniformly from the group's negative set."""
+    rng = np.random.default_rng(9)
+    b, a, li, lw, lr = 1, 5, 1, 1, 4
+    scores = np.zeros((b, a, li, lw, lr), np.float32)
+    # make negatives distinguishable through the hinge term
+    scores[0, 0, 0, 0] = [0.0, 0.1, 0.2, 0.3]
+    labels = np.zeros((b, li, lw, lr), np.float32)
+    defined = np.ones((b, li, lw, lr), np.float32)
+    labels[0, 0, 0, 0] = 1.0  # pos r=0; negs r=1,2,3
+    counts = {1: 0, 2: 0, 3: 0}
+    for seed in range(300):
+        loss, _ = losses.att_loss(
+            jnp.array(scores), jnp.array(labels), jnp.array(defined),
+            jnp.array([0]), jnp.ones(1, np.float32),
+            jax.random.PRNGKey(seed), num_negatives=1, loss_type="hinge",
+            margin=0.0)
+        neg_score = float(loss)  # = neg - pos = neg score
+        counts[round(neg_score * 10)] += 1
+    for c in counts.values():
+        assert 60 < c < 140  # ~100 each
+
+
+def test_total_loss_composition():
+    rng = np.random.default_rng(10)
+    b, p, a, li = 2, 2, 5, 4
+    outputs = {
+        "answer_scores": jnp.array(rng.standard_normal((b, p, a)), jnp.float32),
+        "proposal_weights": jnp.ones((b, p)),
+        "t_scores": jnp.array(rng.standard_normal((b, a, li, 2)), jnp.float32),
+        "vid_raw_s": jnp.array(
+            rng.uniform(-1, 1, (b, a, li, 3, 4)), jnp.float32),
+    }
+    batch = {
+        "target": jnp.array([0, 1]),
+        "ex_mask": jnp.ones(b),
+        "ts_st": jnp.array([0, 1]),
+        "ts_ed": jnp.array([1, 2]),
+        "att_labels": jnp.zeros((b, li, 3, 4)),
+        "att_defined": jnp.ones((b, li, 3, 4)),
+    }
+    loss, metrics = losses.total_loss(
+        outputs, batch, jax.random.PRNGKey(0), use_sup_att=True, train=True)
+    expected = (metrics["loss_cls"] + metrics["loss_ts"]
+                + metrics["loss_att"])
+    assert abs(float(loss) - float(expected)) < 1e-5

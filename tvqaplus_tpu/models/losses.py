@@ -106,6 +106,7 @@ def att_loss(scores, att_labels, att_defined, targets, ex_mask, rng,
     neg_mask = ((att_labels == 0) & (att_defined > 0)).astype(jnp.float32)
 
     m = li * lw * lr
+    entry_cap = min(entry_cap, m)
     pos_flat = pos_mask.reshape(b, m)
     # stable top-k: first `entry_cap` positives in (img, word, region) order
     entry_valid, entry_idx = jax.lax.top_k(pos_flat, entry_cap)  # (B, E)
