@@ -1,0 +1,192 @@
+"""Training-subsystem tests: optimizer semantics, plateau scheduler,
+checkpoint round-trip, and an end-to-end convergence smoke on synthetic
+data (the reference's --debug integration-test role, README.md:68-71)."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tvqaplus_tpu.config import Config
+from tvqaplus_tpu.data.pipeline import DataPipeline
+from tvqaplus_tpu.data.synthetic import SyntheticTVQADataset
+from tvqaplus_tpu.parallel.mesh import make_mesh
+from tvqaplus_tpu.train.loop import Trainer
+from tvqaplus_tpu.train.state import (
+    PlateauScheduler,
+    create_train_state,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def small_cfg(tmp_path, **kw):
+    cfg = Config(
+        bsz=4, test_bsz=4, hsz=16, embedding_size=24, vfeat_size=12,
+        max_qa_l=10, max_sub_l=8, max_num_img=6, num_region=5,
+        img_buckets=[6], max_q_l=4, max_a_l=4,
+        results_dir_base=str(tmp_path / "results"),
+        synthetic_data=True, log_freq=10000,
+    )
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    cfg.finalize(save=False)
+    return cfg
+
+
+class TestOptimizer:
+    def test_adam_decreases_quadratic(self):
+        params = {"w": jnp.array([1.0, -2.0, 3.0])}
+        state, tx = create_train_state(params, lr=0.1, weight_decay=0.0,
+                                       clip=10.0)
+        for _ in range(100):
+            grads = {"w": 2 * state.params["w"]}
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+            state = state.replace(params=params, opt_state=opt_state)
+        assert float(jnp.abs(state.params["w"]).max()) < 0.1
+
+    def test_lr_injection(self):
+        params = {"w": jnp.zeros(3)}
+        state, tx = create_train_state(params, lr=1e-3)
+        assert abs(state.lr() - 1e-3) < 1e-9
+        state = state.with_lr(5e-4)
+        assert abs(state.lr() - 5e-4) < 1e-9
+
+    def test_grad_clip(self):
+        params = {"w": jnp.zeros(4)}
+        state, tx = create_train_state(params, lr=1.0, weight_decay=0.0,
+                                       clip=1.0)
+        grads = {"w": jnp.full(4, 100.0)}
+        updates, _ = tx.update(grads, state.opt_state, state.params)
+        # after clipping to norm 1, adam normalizes again; just check finite
+        assert np.isfinite(np.array(updates["w"])).all()
+
+
+class TestPlateauScheduler:
+    def test_reduces_after_patience(self):
+        s = PlateauScheduler(1.0, mode="max", factor=0.5, patience=2)
+        s.step(0.5)  # best = 0.5
+        assert s.step(0.5) == 1.0  # bad 1
+        assert s.step(0.5) == 1.0  # bad 2
+        assert s.step(0.5) == 0.5  # bad 3 > patience -> reduce
+        # improvement resets
+        assert s.step(0.9) == 0.5
+        assert s.num_bad_epochs == 0
+
+    def test_threshold_rel(self):
+        s = PlateauScheduler(1.0, mode="max", factor=0.5, patience=0)
+        s.step(0.5)
+        # within rel threshold -> not an improvement -> reduce
+        assert s.step(0.500001) == 0.5
+
+
+class TestCheckpoint:
+    def test_round_trip(self, tmp_path):
+        params = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+        state, _ = create_train_state(params, lr=1e-3)
+        state = state.replace(step=jnp.asarray(7, jnp.int32))
+        path = str(tmp_path / "ckpt.msgpack")
+        save_checkpoint(path, state, extra={"best_acc": 0.5, "epoch": 3})
+        template, _ = create_train_state(
+            {"a": jnp.zeros(4), "b": {"c": jnp.zeros((2, 2))}}, lr=1e-3)
+        restored, extra = load_checkpoint(path, template)
+        assert int(restored.step) == 7
+        np.testing.assert_allclose(np.array(restored.params["a"]),
+                                   np.arange(4.0))
+        assert extra["best_acc"] == 0.5 and extra["epoch"] == 3
+
+
+class TestPipeline:
+    def test_static_shapes_and_buckets(self, tmp_path):
+        cfg = small_cfg(tmp_path)
+        ds = SyntheticTVQADataset(cfg, 10, mode="train")
+        pipe = DataPipeline(ds, cfg, mesh=None, batch_size=4, shuffle=True)
+        shapes = set()
+        n_ex = 0
+        for arrays, meta, bucket in pipe:
+            shapes.add(arrays["vid"].shape)
+            n_ex += int(np.asarray(arrays["ex_mask"]).sum())
+            assert len(meta["qid"]) <= 4
+        assert n_ex == 10
+        assert len(shapes) == 1  # single bucket -> single shape
+
+    def test_shuffle_changes_order(self, tmp_path):
+        cfg = small_cfg(tmp_path)
+        ds = SyntheticTVQADataset(cfg, 16, mode="train")
+        pipe = DataPipeline(ds, cfg, mesh=None, batch_size=4, shuffle=True)
+        order1 = [meta["qid"] for _, meta, _ in pipe]
+        order2 = [meta["qid"] for _, meta, _ in pipe]  # epoch 2
+        assert order1 != order2
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_loss_decreases_on_planted_signal(self, tmp_path):
+        cfg = small_cfg(tmp_path, use_sup_att=True, add_local=True, lr=3e-3)
+        mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+        trainer = Trainer(cfg, mesh=mesh)
+        train_ds = SyntheticTVQADataset(cfg, 32, mode="train")
+        valid_ds = SyntheticTVQADataset(cfg, 16, mode="valid")
+
+        first_losses, last_losses = [], []
+        for epoch in range(8):
+            pipe = trainer._pipeline(train_ds, shuffle=True,
+                                     batch_size=cfg.bsz)
+            for batch, meta, _ in pipe:
+                trainer.state, metrics = trainer._train_step(
+                    trainer.state, batch, trainer.rng,
+                    use_hard_negatives=False)
+                per_ex = float(metrics["loss"]) / float(metrics["n_examples"])
+                if epoch == 0:
+                    first_losses.append(per_ex)
+                elif epoch == 7:
+                    last_losses.append(per_ex)
+        assert np.mean(last_losses) < 0.7 * np.mean(first_losses), (
+            f"loss did not decrease: {np.mean(first_losses):.3f} -> "
+            f"{np.mean(last_losses):.3f}")
+        acc, loss, qid_corrects = trainer.validate(valid_ds)
+        assert acc > 0.3  # planted signal should beat 0.2 chance
+        assert len(qid_corrects) == 16
+
+    def test_data_parallel_2dev(self, tmp_path):
+        cfg = small_cfg(tmp_path, bsz=8, test_bsz=8)
+        mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+        trainer = Trainer(cfg, mesh=mesh)
+        ds = SyntheticTVQADataset(cfg, 16, mode="train")
+        pipe = trainer._pipeline(ds, shuffle=False, batch_size=8)
+        for batch, _, _ in pipe:
+            trainer.state, metrics = trainer._train_step(
+                trainer.state, batch, trainer.rng, use_hard_negatives=False)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_context_parallel_mesh(self, tmp_path):
+        cfg = small_cfg(tmp_path, bsz=4, max_num_img=6, img_buckets=[6],
+                        mesh_shape=[2, 2])
+        mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+        trainer = Trainer(cfg, mesh=mesh)
+        ds = SyntheticTVQADataset(cfg, 8, mode="train")
+        pipe = trainer._pipeline(ds, shuffle=False, batch_size=4)
+        for batch, _, _ in pipe:
+            trainer.state, metrics = trainer._train_step(
+                trainer.state, batch, trainer.rng, use_hard_negatives=False)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_dp_matches_single_device(self, tmp_path):
+        """The same global batch must give the same loss on a 1-device and a
+        4-device data-parallel mesh (SPMD correctness)."""
+        cfg = small_cfg(tmp_path, bsz=4)
+        ds = SyntheticTVQADataset(cfg, 8, mode="train")
+        results = []
+        for ndev in (1, 4):
+            mesh = make_mesh((ndev, 1), devices=jax.devices()[:ndev])
+            trainer = Trainer(cfg, mesh=mesh)
+            pipe = trainer._pipeline(ds, shuffle=False, batch_size=4)
+            batch, _, _ = next(iter(pipe))
+            _, metrics = trainer._train_step(
+                trainer.state, batch, trainer.rng, use_hard_negatives=False)
+            results.append(float(metrics["loss"]))
+        assert abs(results[0] - results[1]) / abs(results[0]) < 1e-4

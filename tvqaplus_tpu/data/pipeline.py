@@ -1,0 +1,94 @@
+"""Host-side input pipeline: batching, length bucketing, background prefetch
+and device placement.
+
+Replaces the reference's fork-worker DataLoader + per-batch dynamic padding
++ blocking ``.to(device)`` (main.py:21-22, tvqa_dataset.py:631-688) with:
+
+* static-shape batches from a small set of Li length buckets (one XLA
+  compilation per bucket, ever);
+* a background thread that assembles and stages the next batches while the
+  device runs the current step (double buffering via ``prefetch_depth``);
+* ``jax.device_put`` with mesh shardings so arrays land directly in their
+  data/context-parallel layout.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+
+import jax
+import numpy as np
+
+from tvqaplus_tpu.data.batching import StaticShapeSpec, collate_static, pick_bucket
+from tvqaplus_tpu.parallel.mesh import shard_batch
+
+
+class DataPipeline:
+    """Iterable over (device_batch, meta, bucket) tuples."""
+
+    def __init__(self, dataset, cfg, mesh=None, batch_size=16, shuffle=False,
+                 seed=0, drop_last=False, prefetch_depth=2):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch_depth = max(1, prefetch_depth)
+        self.base_spec = StaticShapeSpec.from_config(cfg, batch=batch_size)
+        self.buckets = sorted(set(
+            min(b, cfg.max_num_img) for b in cfg.img_buckets))
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            rng.shuffle(order)
+        for i in range(0, n, self.batch_size):
+            idxs = order[i: i + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                break
+            examples = [self.dataset[int(j)] for j in idxs]
+            n_img = max((len(ex.get("image_indices", [])) or 1)
+                        for ex in examples)
+            bucket = pick_bucket(n_img, self.buckets, self.cfg.max_num_img)
+            spec = self.base_spec.with_max_img(bucket)
+            arrays, meta = collate_static(examples, spec)
+            yield arrays, meta, bucket
+
+    def _place(self, arrays):
+        if self.mesh is not None:
+            return shard_batch(self.mesh, arrays)
+        return {k: jax.device_put(v) for k, v in arrays.items()}
+
+    def __iter__(self):
+        self._epoch += 1
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        sentinel = object()
+        err = []
+
+        def producer():
+            try:
+                for arrays, meta, bucket in self._batches():
+                    q.put((self._place(arrays), meta, bucket))
+            except Exception as e:  # surface in consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

@@ -52,9 +52,9 @@ class SyntheticTVQADataset:
         cfg = self.cfg
         rng = np.random.default_rng(
             (self.seed, {"train": 1, "valid": 2, "test": 3}[self.mode], index))
-        n_img = int(rng.integers(8, self.max_img + 1))
-        q_l = int(rng.integers(5, cfg.max_q_l + 1))
-        a_ls = rng.integers(2, cfg.max_a_l + 1, size=5)
+        n_img = int(rng.integers(min(4, self.max_img), self.max_img + 1))
+        q_l = int(rng.integers(min(3, cfg.max_q_l), cfg.max_q_l + 1))
+        a_ls = rng.integers(min(2, cfg.max_a_l), cfg.max_a_l + 1, size=5)
         target = int(rng.integers(0, 5))
         concept = int(rng.integers(0, self.n_concepts))
         st = int(rng.integers(0, n_img))

@@ -21,6 +21,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from tvqaplus_tpu.ops.masking import safe_softmax
+
 
 def l2_normalize(x, axis=-1, eps=1e-12):
     """torch.nn.functional.normalize semantics: x / max(||x||, eps)."""
@@ -80,7 +82,7 @@ def structured_attention(C, Q, c_mask, q_mask, scale=10.0, dropout_rate=0.0,
     S = jnp.matmul(Cn, jnp.swapaxes(Qn, -2, -1))          # (N,5,Li,Lqa,Lr+v)
     masked_S = S - 1e10 * (1.0 - S_mask)
 
-    S_ = jax.nn.softmax(masked_S * scale, axis=-1)
+    S_ = safe_softmax(masked_S * scale, axis=-1)
     S_ = S_ * S_mask  # zero out rows that are entirely padding
 
     if noun_mask is not None:
@@ -118,5 +120,5 @@ def context_query_attention(C, Q, c_mask, q_mask, dropout_rate=0.0,
     S_mask = c_mask[..., :, None] * q_mask[..., None, :]
     S = jnp.matmul(Cd, jnp.swapaxes(Qd, -2, -1)) / math.sqrt(C.shape[-1])
     masked_S = S - 1e10 * (1.0 - S_mask)
-    S_ = jax.nn.softmax(masked_S, axis=-1)
+    S_ = safe_softmax(masked_S, axis=-1)
     return jnp.matmul(S_, Q)

@@ -149,6 +149,10 @@ class MultiHeadedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, *, train: bool):
+        lead = x.shape[:-2]
+        if x.ndim > 3:  # flatten leading batch dims
+            x = x.reshape((-1,) + x.shape[-2:])
+            mask = mask.reshape(-1, mask.shape[-1]) if mask is not None else None
         n, l, d = x.shape
         nh = self.num_heads
         assert d % nh == 0
@@ -167,7 +171,8 @@ class MultiHeadedAttention(nn.Module):
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(n, l, d)
-        return nn.Dense(d, dtype=self.dtype, name="out")(out)
+        out = nn.Dense(d, dtype=self.dtype, name="out")(out)
+        return out.reshape(lead + out.shape[-2:])
 
 
 class EncoderBlock(nn.Module):

@@ -30,13 +30,15 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from tvqaplus_tpu.ops.masking import safe_log_softmax
+
 
 def _ce_sum(logits, targets, weights):
     """Sum-reduction cross-entropy: -sum_i w_i * log_softmax(logits_i)[t_i].
 
     logits: (..., C); targets: (...) int; weights: (...) float.
     """
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = safe_log_softmax(logits, axis=-1)
     picked = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return -jnp.sum(picked * weights)
 
@@ -172,6 +174,9 @@ def att_loss(scores, att_labels, att_defined, targets, ex_mask, rng,
 
     neg_scores = jnp.take_along_axis(score_rows, neg_r, axis=-1)  # (B, E, K)
     diff = neg_scores - pos_scores[..., None]                     # (B, E, K)
+    # invalid pairs gather arbitrary (possibly -1e10 padding) scores; zero
+    # their diff BEFORE the exp so neither forward nor grad sees inf
+    diff = jnp.where(pair_valid > 0, diff, 0.0)
     if loss_type == "hinge":
         per_pair = jnp.maximum(0.0, margin + diff)
     elif loss_type == "lse":

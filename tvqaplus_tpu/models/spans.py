@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from tvqaplus_tpu.models.layers import mask_logits
+from tvqaplus_tpu.ops.masking import safe_softmax
 
 NEG_INF = -1e10
 
@@ -136,7 +137,7 @@ def training_proposals(t_scores_ca, ts_st, ts_ed, img_valid_mask,
     IoU([st, ed+1), [gt_st, gt_ed+1)) >= iou_thd; GT span always added.
     """
     del img_valid_mask  # already folded into t_scores_ca via mask_logits
-    probs = jax.nn.softmax(t_scores_ca, axis=1)            # (N, Li, 2)
+    probs = safe_softmax(t_scores_ca, axis=1)              # (N, Li, 2)
     st, ed, conf = top_spans(probs[..., 0], probs[..., 1], max_num_proposal)
     pred_st, pred_ed_excl = st, ed + 1                     # (N, P-1)
     gt_st = ts_st[:, None].astype(jnp.float32)
@@ -162,6 +163,6 @@ def eval_proposals(t_scores, img_valid_mask):
       span_st, span_ed_excl: (N, A) int32.
     """
     del img_valid_mask
-    probs = jax.nn.softmax(t_scores, axis=2)
+    probs = safe_softmax(t_scores, axis=2)
     st, ed, _ = top_spans(probs[..., 0], probs[..., 1], 1)
     return st[..., 0], ed[..., 0] + 1

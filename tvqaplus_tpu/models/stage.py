@@ -187,37 +187,34 @@ class STAGE(nn.Module):
         bsz, num_a, lqa = batch["qas_mask"].shape
         out = {}
 
+        # every encoder works on (..., L, D) with leading batch dims intact,
+        # so data-parallel (B) and context-parallel (Li) shardings survive
+        # the whole forward without GSPMD reshuffles.
         a_embed = self.base_encoder(
-            batch["qas_bert"].reshape(bsz * num_a, lqa, -1),
-            batch["qas_mask"].reshape(bsz * num_a, lqa),
+            batch["qas_bert"], batch["qas_mask"],
             self.bert_word_encoding_fc, train=train)
-        a_embed = a_embed.reshape(bsz, num_a, 1, lqa, c.hsz)
-        a_mask = batch["qas_mask"].reshape(bsz, num_a, 1, lqa)
+        a_embed = a_embed[:, :, None]                   # (B, A, 1, Lqa, h)
+        a_mask = batch["qas_mask"][:, :, None]          # (B, A, 1, Lqa)
 
         attended_sub = attended_vid = None
         attended_sub_mask = attended_vid_mask = None
         if c.sub_flag:
-            _, num_img, num_words, _ = batch["sub_bert"].shape
             sub_embed = self.base_encoder(
-                batch["sub_bert"].reshape(bsz * num_img, num_words, -1),
-                batch["sub_mask"].reshape(bsz * num_img, num_words),
+                batch["sub_bert"], batch["sub_mask"],
                 self.bert_word_encoding_fc, train=train)
-            sub_embed = sub_embed.reshape(bsz, 1, num_img, num_words, c.hsz)
-            sub_mask = batch["sub_mask"].reshape(bsz, 1, num_img, num_words)
+            sub_embed = sub_embed[:, None]              # (B, 1, Li, Ls, h)
+            sub_mask = batch["sub_mask"][:, None]
             attended_sub, attended_sub_mask, sub_raw_s, sub_norm_s = \
                 self.qa_ctx_attention(a_embed, sub_embed, a_mask, sub_mask,
                                       train=train)
             out["sub_raw_s"], out["sub_normalized_s"] = sub_raw_s, sub_norm_s
 
         if c.vfeat_flag:
-            _, num_img, num_region, _ = batch["vid"].shape
-            vid_embed = l2_normalize(batch["vid"])  # (stage.py:256)
+            vid_embed = l2_normalize(batch["vid"])      # (stage.py:256)
             vid_embed = self.base_encoder(
-                vid_embed.reshape(bsz * num_img, num_region, -1),
-                batch["vid_mask"].reshape(bsz * num_img, num_region),
-                self.vid_fc, train=train)
-            vid_embed = vid_embed.reshape(bsz, 1, num_img, num_region, c.hsz)
-            vid_mask = batch["vid_mask"].reshape(bsz, 1, num_img, num_region)
+                vid_embed, batch["vid_mask"], self.vid_fc, train=train)
+            vid_embed = vid_embed[:, None]              # (B, 1, Li, Lr, h)
+            vid_mask = batch["vid_mask"][:, None]
             attended_vid, attended_vid_mask, vid_raw_s, vid_norm_s = \
                 self.qa_ctx_attention(a_embed, vid_embed, a_mask, vid_mask,
                                       train=train,
@@ -260,14 +257,12 @@ class STAGE(nn.Module):
         """
         c = self.cfg
         bsz, num_a, num_img, num_words = statement_mask.shape
-        flat = statement.reshape(bsz * num_a * num_img, num_words, c.hsz)
-        flat_mask = statement_mask.reshape(bsz * num_a * num_img, num_words)
-        encoded = self.cls_encoder(flat, flat_mask, train=train)
+        encoded = self.cls_encoder(statement, statement_mask, train=train)
         max_statement = jnp.max(
-            mask_logits(encoded, flat_mask[..., None]), axis=1)
-        max_statement_mask = (jnp.sum(flat_mask, 1) != 0).astype(
-            jnp.float32).reshape(bsz, num_a, num_img, 1)
-        x = max_statement.reshape(bsz * num_a, num_img, c.hsz)
+            mask_logits(encoded, statement_mask[..., None]), axis=-2)
+        max_statement_mask = (jnp.sum(statement_mask, -1) != 0).astype(
+            jnp.float32)[..., None]                     # (B, A, Li, 1)
+        x = max_statement                               # (B, A, Li, h)
 
         # temporal chain.  Note the reference's ensemble quirk
         # (stage.py:515-516): 0.5*(t0 + stack(container[:1]).mean(0)) == t0,
@@ -278,10 +273,9 @@ class STAGE(nn.Module):
             x, t = self.residual_temporal_predictor(i, x, train=train)
             if i == 0:
                 t0 = t
-                stacked_max_statement = x.reshape(bsz, num_a, num_img, c.hsz)
-        t_scores = t0.reshape(bsz, num_a, num_img, 2)
+                stacked_max_statement = x               # (B, A, Li, h)
         t_scores = mask_logits(
-            t_scores, batch["ts_mask"].reshape(bsz, 1, num_img, 1))
+            t0, batch["ts_mask"].reshape(bsz, 1, num_img, 1))
 
         if c.add_local:
             pooled, weights = self._proposal_pooling(

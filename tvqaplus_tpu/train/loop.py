@@ -1,0 +1,254 @@
+"""Training / validation drivers around one jitted step.
+
+Mirrors the reference control flow (main.py:18-251) — per-epoch train loop
+with every-``log_freq``-batches validation, best-checkpoint saving, plateau
+LR scheduling on val accuracy, early stop after ``max_es_cnt`` flat epochs,
+hard negatives after ``hard_negative_start`` epochs, debug break at batch 5
+with a 4-phase timing dump — but the step itself is a single jit containing
+forward, all three losses, backward and the optimizer update (the reference
+crosses host<->device several times per step)."""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvqaplus_tpu.data.batching import StaticShapeSpec, zeros_batch
+from tvqaplus_tpu.data.pipeline import DataPipeline
+from tvqaplus_tpu.models import losses
+from tvqaplus_tpu.models.stage import STAGE, ModelConfig
+from tvqaplus_tpu.parallel.mesh import (
+    batch_shardings,
+    data_parallel_size,
+    make_mesh,
+    replicated,
+)
+from tvqaplus_tpu.train.metrics import MetricsLogger
+from tvqaplus_tpu.train.state import (
+    PlateauScheduler,
+    TrainState,
+    create_train_state,
+    load_checkpoint,
+    save_checkpoint,
+)
+from tvqaplus_tpu.utils.misc import AverageMeter, count_parameters
+
+
+class Trainer:
+    def __init__(self, cfg, mesh=None, logger=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            tuple(cfg.mesh_shape))
+        self.model_cfg = ModelConfig.from_config(cfg)
+        self.model = STAGE(self.model_cfg)
+        self.logger = logger or MetricsLogger(cfg.results_dir)
+
+        # init params on a template batch (smallest bucket)
+        spec = StaticShapeSpec.from_config(
+            cfg, batch=2, max_img=min(cfg.img_buckets))
+        template = {k: jnp.asarray(v) for k, v in zeros_batch(spec).items()}
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(cfg.seed)}, template, train=False)
+        self.state, self.tx = create_train_state(
+            variables["params"], cfg.lr, cfg.wd, cfg.clip)
+        self.n_params = count_parameters(self.state.params)
+        self.scheduler = PlateauScheduler(cfg.lr, mode="max", factor=0.5,
+                                          patience=10)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.best_acc = 0.0
+        self.start_epoch = 0
+        if cfg.resume:
+            self.state, extra = load_checkpoint(cfg.resume, self.state)
+            self.best_acc = extra.get("best_acc", 0.0)
+            self.start_epoch = extra.get("epoch", 0)
+            self.scheduler.lr = extra.get("lr", cfg.lr)
+        self._loss_kwargs = dict(
+            att_weight=cfg.att_weight, ts_weight=cfg.ts_weight,
+            use_sup_att=cfg.use_sup_att, num_negatives=cfg.num_negatives,
+            att_loss_type=cfg.att_loss_type, margin=cfg.margin,
+            alpha=cfg.alpha, drop_topk=cfg.drop_topk,
+            negative_pool_size=cfg.negative_pool_size,
+            num_hard=cfg.num_hard, entry_cap=cfg.att_entry_cap,
+            vfeat_flag=cfg.vfeat_flag)
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        model, tx, loss_kwargs = self.model, self.tx, self._loss_kwargs
+
+        def train_step(state: TrainState, batch, rng, use_hard_negatives):
+            step_rng = jax.random.fold_in(rng, state.step)
+            drop_rng, att_rng = jax.random.split(step_rng)
+
+            def loss_fn(params):
+                out = model.apply({"params": params}, batch, train=True,
+                                  rngs={"dropout": drop_rng})
+                return losses.total_loss(
+                    out, batch, att_rng, train=True,
+                    use_hard_negatives=use_hard_negatives, **loss_kwargs)
+
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      opt_state=opt_state)
+            metrics["grad_norm"] = jax.tree_util.tree_reduce(
+                lambda a, g: a + jnp.sum(jnp.square(g)), grads, 0.0) ** 0.5
+            return new_state, metrics
+
+        def eval_step(state: TrainState, batch):
+            out = model.apply({"params": state.params}, batch, train=False)
+            _, metrics = losses.total_loss(
+                out, batch, jax.random.PRNGKey(0), train=False, **loss_kwargs)
+            preds = jnp.argmax(out["answer_scores"], axis=-1)
+            return metrics, preds
+
+        repl = replicated(self.mesh)
+        self._train_step = jax.jit(
+            train_step, static_argnames=("use_hard_negatives",),
+            donate_argnums=(0,),
+            out_shardings=(repl, repl))
+        self._eval_step = jax.jit(eval_step, out_shardings=(repl, repl))
+
+    # ------------------------------------------------------------------
+    def _pipeline(self, dataset, shuffle, batch_size):
+        return DataPipeline(dataset, self.cfg, mesh=self.mesh,
+                            batch_size=batch_size, shuffle=shuffle,
+                            seed=self.cfg.seed,
+                            prefetch_depth=self.cfg.prefetch_depth)
+
+    def validate(self, dataset, max_batches=None):
+        """Full pass over the valid split; returns (acc, loss, qid_corrects)
+        (reference main.py:151-183)."""
+        dataset.set_mode("valid")
+        pipeline = self._pipeline(dataset, shuffle=False,
+                                  batch_size=self.cfg.test_bsz)
+        totals = {"n_correct": 0.0, "n": 0.0, "loss": 0.0}
+        qid_corrects = []
+        for i, (batch, meta, _) in enumerate(pipeline):
+            metrics, preds = self._eval_step(self.state, batch)
+            preds = np.asarray(jax.device_get(preds))
+            targets = np.asarray(jax.device_get(batch["target"]))
+            ex_mask = np.asarray(jax.device_get(batch["ex_mask"]))
+            n = int(ex_mask.sum())
+            totals["n_correct"] += float(metrics["n_correct"])
+            totals["loss"] += float(metrics["loss"])
+            totals["n"] += n
+            for j in range(n):
+                qid_corrects.append("%d\t%d" % (
+                    meta["qid"][j], int(preds[j] == targets[j])))
+            if max_batches is not None and i + 1 >= max_batches:
+                break
+            if self.cfg.debug and i == 20:
+                break
+        acc = totals["n_correct"] / max(totals["n"], 1)
+        loss = totals["loss"] / max(totals["n"], 1)
+        return acc, loss, qid_corrects
+
+    def train_epoch(self, dataset, epoch, use_hard_negatives=False,
+                    valid_dataset=None):
+        """One epoch (reference main.py:18-148).  Returns best val acc."""
+        cfg = self.cfg
+        dataset.set_mode("train")
+        pipeline = self._pipeline(dataset, shuffle=True, batch_size=cfg.bsz)
+        # the background pipeline folds the reference's separate
+        # dataloading/prepare_inputs phases into one staged phase
+        meters = {k: AverageMeter() for k in
+                  ("dataloading", "forward_backward")}
+        window = {"loss": [], "loss_att": [], "loss_ts": [], "loss_cls": [],
+                  "n_correct": 0.0, "n": 0.0}
+        valid_acc_log = ["batch_idx\tacc"]
+        n_steps = len(pipeline)
+
+        timer = time.time()
+        for batch_idx, (batch, meta, bucket) in enumerate(pipeline):
+            meters["dataloading"].update(time.time() - timer)
+            t0 = time.time()
+            self.state, metrics = self._train_step(
+                self.state, batch, self.rng,
+                use_hard_negatives=use_hard_negatives)
+            jax.block_until_ready(metrics["loss"])
+            meters["forward_backward"].update(time.time() - t0)
+
+            window["loss"].append(float(metrics["loss"]))
+            window["loss_att"].append(float(metrics["loss_att"]))
+            window["loss_ts"].append(float(metrics["loss_ts"]))
+            window["loss_cls"].append(float(metrics["loss_cls"]))
+            window["n_correct"] += float(metrics["n_correct"])
+            window["n"] += float(metrics["n_eff"])
+
+            if batch_idx % cfg.log_freq == 0:
+                niter = epoch * n_steps + batch_idx
+                if batch_idx > 0:
+                    n = max(window["n"], 1)
+                    self.logger.add_scalar("Train/Acc",
+                                           window["n_correct"] / n, niter)
+                    self.logger.add_scalar("Train/Loss",
+                                           sum(window["loss"]) / n, niter)
+                    self.logger.add_scalar("Train/Loss_att",
+                                           sum(window["loss_att"]) / n, niter)
+                    self.logger.add_scalar("Train/Loss_cls",
+                                           sum(window["loss_cls"]) / n, niter)
+                    self.logger.add_scalar("Train/Loss_ts",
+                                           sum(window["loss_ts"]) / n, niter)
+                if valid_dataset is not None:
+                    valid_acc, valid_loss, _ = self.validate(valid_dataset)
+                    self.logger.add_scalar("Valid/Acc", valid_acc, niter)
+                    self.logger.add_scalar("Valid/Loss", valid_loss, niter)
+                    valid_acc_log.append("%02d\t%.4f" % (batch_idx, valid_acc))
+                    if valid_acc > self.best_acc:
+                        self.best_acc = valid_acc
+                        self.save(os.path.join(cfg.results_dir,
+                                               "best_valid.ckpt"),
+                                  epoch=epoch)
+                    dataset.set_mode("train")
+                    window = {"loss": [], "loss_att": [], "loss_ts": [],
+                              "loss_cls": [], "n_correct": 0.0, "n": 0.0}
+            timer = time.time()
+            if cfg.debug and batch_idx == 5:
+                for name, m in meters.items():
+                    print(f"{name}: max {m.max:.4f} min {m.min:.4f} "
+                          f"avg {m.avg:.4f}")
+                break
+
+        self.logger.append_log("valid_acc.log", valid_acc_log)
+        return self.best_acc
+
+    def fit(self, train_dataset, valid_dataset):
+        """Full training run with plateau LR + early stop
+        (reference main.py:186-251)."""
+        cfg = self.cfg
+        es_cnt = 0
+        for epoch in range(self.start_epoch, cfg.n_epoch):
+            use_hard = epoch + 1 > cfg.hard_negative_start
+            self.logger.add_scalar("learning_rate", self.scheduler.lr,
+                                   epoch)
+            prev_best = self.best_acc
+            cur_acc = self.train_epoch(train_dataset, epoch,
+                                       use_hard_negatives=use_hard,
+                                       valid_dataset=valid_dataset)
+            new_lr = self.scheduler.step(cur_acc)
+            self.state = self.state.with_lr(new_lr)
+            if cur_acc > prev_best:      # epoch improved the best val acc
+                es_cnt = 0
+            else:
+                es_cnt += 1
+                if es_cnt >= cfg.max_es_cnt:
+                    print("=> early stop with valid acc %.4f" % self.best_acc)
+                    self.logger.export_scalars()
+                    break
+            self.save(os.path.join(cfg.results_dir, "last.ckpt"), epoch=epoch)
+            if cfg.debug:
+                break
+        return self.best_acc
+
+    def save(self, path, epoch=0):
+        save_checkpoint(path, self.state,
+                        extra={"best_acc": self.best_acc, "epoch": epoch,
+                               "lr": self.scheduler.lr})
