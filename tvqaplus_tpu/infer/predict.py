@@ -1,0 +1,149 @@
+"""Inference: produce ``{mode}_inference_predictions.json`` byte-compatible
+with the reference evaluator's input contract (inference.py:38-98).
+
+* answer + span prediction run inside one jitted eval step — the greedy
+  best-span scan (``find_max_pair``) is in-graph over all five answers at
+  once (the reference loops per example on host, inference.py:63-70);
+* the span-index -> seconds conversion keeps the reference's exact math:
+  ``offset = (first_img_id % 6) / 3``; ``[st*2 + offset, (ed+1)*2 + offset]``
+  (inference.py:68-72).  The reference ran under python 2 where that
+  division floors; ``py2_offset_div`` replicates the floored offset, the
+  default keeps true division (the mathematically-correct frame timestamp);
+* ``raw_bbox`` records mirror ``get_att_prediction`` (stage.py:748-806):
+  for every answer x annotated frame x QA word in the object vocab, regions
+  with cosine score >= 0.2, sorted ascending by score.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvqaplus_tpu.models import losses, spans
+from tvqaplus_tpu.ops.masking import safe_softmax
+
+
+def spans_to_seconds(st, ed, first_img_id, py2_offset_div=False):
+    """Span grid indices -> seconds (inference.py:68-72)."""
+    if py2_offset_div:
+        offset = (first_img_id % 6) // 3
+    else:
+        offset = (first_img_id % 6) / 3
+    return [st * 2 + offset, (ed + 1) * 2 + offset]
+
+
+def get_att_predictions(scores, words, object_word_ids, qids, vid_names,
+                        img_indices, boxes, start_indices, score_thd=0.2):
+    """Host-side grounding records (reference get_att_prediction,
+    stage.py:748-806).
+
+    Args:
+      scores: np (B, 5, Li, Lqa, Lr) raw cosine scores.
+      words: np (B, 5, Lqa) word ids.
+      object_word_ids: set of vocab ids that require boxes.
+      img_indices: per-example list of 1-indexed image ids.
+      boxes: per-example list (annotated frames) of region-box lists.
+      start_indices: per-example first annotated image position.
+    Returns:
+      list of {str(ans_idx): [record]} dicts, one per example.
+    """
+    object_word_ids = set(int(w) for w in object_word_ids)
+    att_predictions = []
+    for b in range(len(scores)):
+        start_idx = int(start_indices[b])
+        ex_boxes = boxes[b] or []
+        q_preds = {}
+        for ans_idx in range(5):
+            q_preds[ans_idx] = []
+            cur_words = words[b, ans_idx].tolist()
+            for img_local in range(len(ex_boxes)):
+                img_global = img_local + start_idx
+                if img_global >= scores.shape[2]:
+                    continue
+                cur_img_scores = scores[b, ans_idx, img_global]  # (Lqa, Lr)
+                cur_img_boxes = ex_boxes[img_local]
+                for word_idx, w in enumerate(cur_words):
+                    if w not in object_word_ids:
+                        continue
+                    region_scores = cur_img_scores[word_idx]      # (Lr,)
+                    n_boxes = len(cur_img_boxes)
+                    accepted = np.nonzero(
+                        region_scores[:n_boxes] >= score_thd)[0].tolist()
+                    acc_scores = [float(region_scores[i]) for i in accepted]
+                    acc_boxes = [cur_img_boxes[i] for i in accepted]
+                    order = np.argsort(acc_scores)  # ascending (stage.py:793)
+                    q_preds[ans_idx].append({
+                        "pred": [acc_scores[i] for i in order],
+                        "bbox": [acc_boxes[i] for i in order],
+                        "word": int(w),
+                        "qid": int(qids[b]),
+                        "vid_name": vid_names[b],
+                        "img_idx": int(img_indices[b][img_global]),
+                    })
+        att_predictions.append(q_preds)
+    return att_predictions
+
+
+class InferenceRunner:
+    """Drives the eval-mode model over a dataset split and assembles the
+    predictions dict (reference inference.py:38-75)."""
+
+    def __init__(self, cfg, model, params, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.mesh = mesh
+
+        def infer_step(params, batch):
+            out = model.apply({"params": params}, batch, train=False)
+            pred_ids = jnp.argmax(out["answer_scores"], axis=-1)   # (B,)
+            t_probs = safe_softmax(out["t_scores"], axis=2)        # (B,A,Li,2)
+            st, ed, val = spans.find_max_pair(t_probs[..., 0],
+                                              t_probs[..., 1])    # (B, A)
+            result = {"pred_ids": pred_ids, "span_st": st, "span_ed": ed,
+                      "t_probs": t_probs}
+            if "vid_raw_s" in out:
+                result["vid_raw_s"] = out["vid_raw_s"]
+            return result
+
+        self._infer_step = jax.jit(infer_step)
+
+    def run(self, dataset, mode="valid", object_word_ids=(), debug=False):
+        from tvqaplus_tpu.data.pipeline import DataPipeline
+        dataset.set_mode(mode)
+        pipeline = DataPipeline(dataset, self.cfg, mesh=self.mesh,
+                                batch_size=self.cfg.test_bsz, shuffle=False,
+                                prefetch_depth=self.cfg.prefetch_depth)
+        predictions = {"ts_answer": {}, "raw_bbox": []}
+        for batch_idx, (batch, meta, _) in enumerate(pipeline):
+            out = self._infer_step(self.params, batch)
+            out = jax.device_get(out)
+            ex_mask = np.asarray(jax.device_get(batch["ex_mask"]))
+            n = int(ex_mask.sum())
+            pred_ids = np.asarray(out["pred_ids"])
+            span_st = np.asarray(out["span_st"])
+            span_ed = np.asarray(out["span_ed"])
+
+            if "vid_raw_s" in out and any(
+                    bx is not None for bx in meta["boxes"]):
+                words = np.asarray(jax.device_get(batch["qas"]))
+                anno_st = np.asarray(jax.device_get(batch["anno_st"]))
+                att = get_att_predictions(
+                    np.asarray(out["vid_raw_s"])[:n], words[:n],
+                    object_word_ids, meta["qid"][:n], meta["vid_name"][:n],
+                    meta["image_indices"][:n], meta["boxes"][:n],
+                    anno_st[:n])
+                predictions["raw_bbox"].extend(att)
+
+            for j in range(n):
+                qid = meta["qid"][j]
+                a = int(pred_ids[j])
+                img_ids = meta["image_indices"][j]
+                first_img = img_ids[0] if img_ids else 1
+                ts = spans_to_seconds(int(span_st[j, a]), int(span_ed[j, a]),
+                                      first_img,
+                                      self.cfg.py2_offset_div)
+                predictions["ts_answer"][str(qid)] = [ts, a]
+            if debug:
+                break
+        return predictions
