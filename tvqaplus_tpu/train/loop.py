@@ -166,8 +166,12 @@ class Trainer:
         valid_acc_log = ["batch_idx\tacc"]
         n_steps = len(pipeline)
 
+        profiling = False
         timer = time.time()
         for batch_idx, (batch, meta, bucket) in enumerate(pipeline):
+            if cfg.profile_dir and epoch == 0 and batch_idx == 8:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
             meters["dataloading"].update(time.time() - timer)
             t0 = time.time()
             self.state, metrics = self._train_step(
@@ -210,6 +214,9 @@ class Trainer:
                     dataset.set_mode("train")
                     window = {"loss": [], "loss_att": [], "loss_ts": [],
                               "loss_cls": [], "n_correct": 0.0, "n": 0.0}
+            if profiling and batch_idx >= 12:
+                jax.profiler.stop_trace()
+                profiling = False
             timer = time.time()
             if cfg.debug and batch_idx == 5:
                 for name, m in meters.items():
@@ -217,6 +224,8 @@ class Trainer:
                           f"avg {m.avg:.4f}")
                 break
 
+        if profiling:
+            jax.profiler.stop_trace()
         self.logger.append_log("valid_acc.log", valid_acc_log)
         return self.best_acc
 
