@@ -1,0 +1,85 @@
+"""Fused qa-ctx-attention Pallas kernel vs the pure-JAX oracle (interpret
+mode on CPU; the same kernel compiles for TPU via Mosaic)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tvqaplus_tpu.models.attention import l2_normalize
+from tvqaplus_tpu.ops import pallas_attention as pa
+
+B, A, LI, LQA, LR, D = 2, 5, 4, 8, 6, 16
+
+
+def make_inputs(seed=0, all_valid=False):
+    rng = np.random.default_rng(seed)
+    f32 = np.float32
+    ce = rng.standard_normal((B, A, LQA, D)).astype(f32)
+    qe = rng.standard_normal((B, LI, LR, D)).astype(f32)
+    cn = np.array(l2_normalize(jnp.array(ce)))
+    qn = np.array(l2_normalize(jnp.array(qe)))
+    if all_valid:
+        c_mask = np.ones((B, A, LQA), f32)
+        q_mask = np.ones((B, LI, LR), f32)
+    else:
+        c_mask = (rng.random((B, A, LQA)) > 0.25).astype(f32)
+        c_mask[..., 0] = 1
+        q_mask = (rng.random((B, LI, LR)) > 0.25).astype(f32)
+        q_mask[..., 0] = 1
+    gamma = rng.standard_normal(3 * D).astype(f32) * 0.1 + 1.0
+    beta = rng.standard_normal(3 * D).astype(f32) * 0.1
+    w = (rng.standard_normal((3 * D, D)) / np.sqrt(3 * D)).astype(f32)
+    b = rng.standard_normal(D).astype(f32) * 0.1
+    return tuple(jnp.array(x) for x in
+                 (cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b))
+
+
+@pytest.mark.parametrize("all_valid", [True, False])
+def test_forward_matches_reference(all_valid):
+    args = make_inputs(all_valid=all_valid)
+    mixed_ref, raw_ref = pa.reference_impl(*args, scale=10.0)
+    mixed_k, raw_k = pa._pallas_forward(*args, scale=10.0, dropout_rate=0.0,
+                                        seed=0, interpret=True)
+    np.testing.assert_allclose(np.array(mixed_k), np.array(mixed_ref),
+                               rtol=2e-4, atol=2e-4)
+    # raw scores: compare where defined (padding is -1e10 in both)
+    np.testing.assert_allclose(np.array(raw_k), np.array(raw_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_custom_vjp_grads_match_reference():
+    args = make_inputs()
+
+    def loss_pallas(cn, ce, qn, qe, *rest):
+        with pltpu_interpret():
+            mixed, raw = pa.fused_qa_ctx_attention(cn, ce, qn, qe, *rest,
+                                                   10.0)
+        return jnp.sum(mixed ** 2) + jnp.sum(jnp.where(raw > -1e9, raw, 0.0))
+
+    def loss_ref(cn, ce, qn, qe, *rest):
+        mixed, raw = pa.reference_impl(cn, ce, qn, qe, *rest, scale=10.0)
+        return jnp.sum(mixed ** 2) + jnp.sum(jnp.where(raw > -1e9, raw, 0.0))
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    def pltpu_interpret():
+        return pltpu.force_tpu_interpret_mode()
+
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 6, 8))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 6, 8))(*args)
+    for gp, gr in zip(g_pallas, g_ref):
+        np.testing.assert_allclose(np.array(gp), np.array(gr),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_dropout_path_runs_and_differs():
+    if jax.default_backend() != "tpu":
+        pytest.skip("pltpu.prng_seed has no CPU interpreter")
+    args = make_inputs(all_valid=True)
+    mixed0, _ = pa._pallas_forward(*args, scale=10.0, dropout_rate=0.0,
+                                   seed=1, interpret=True)
+    mixed1, _ = pa._pallas_forward(*args, scale=10.0, dropout_rate=0.5,
+                                   seed=1, interpret=True)
+    assert not np.allclose(np.array(mixed0), np.array(mixed1))
+    # dropout keeps ~half the pre-projection activations; output still finite
+    assert np.isfinite(np.array(mixed1)).all()

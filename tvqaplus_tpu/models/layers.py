@@ -256,17 +256,36 @@ class InputEmbedding(nn.Module):
 
 class DownProjection(nn.Module):
     """LN -> Dropout -> Dense -> ReLU: `c2q_down_projection`
-    (reference stage.py:133-138)."""
+    (reference stage.py:133-138).
+
+    Params are defined explicitly (not via nn.LayerNorm/nn.Dense submodules)
+    so the fused Pallas attention kernel can consume them directly while
+    sharing the exact same checkpointable parameter tree.
+    """
+    in_hsz: int
     out_hsz: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.ln_scale = self.param("ln_scale", nn.initializers.ones,
+                                   (self.in_hsz,))
+        self.ln_bias = self.param("ln_bias", nn.initializers.zeros,
+                                  (self.in_hsz,))
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_hsz, self.out_hsz))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.out_hsz,))
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x, *, train: bool):
-        x = nn.LayerNorm(epsilon=LN_EPS, name="ln")(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.out_hsz, dtype=self.dtype, name="fc")(x)
-        return nn.relu(x)
+        mean = jnp.mean(x, -1, keepdims=True)
+        var = jnp.var(x, -1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + LN_EPS)
+        x = x * self.ln_scale + self.ln_bias
+        x = self.drop(x, deterministic=not train)
+        x = x.astype(self.dtype) @ self.kernel.astype(self.dtype)
+        return nn.relu(x + self.bias.astype(self.dtype))
 
 
 class NormalizeScale(nn.Module):

@@ -119,7 +119,8 @@ class STAGE(nn.Module):
             c.input_encoder_n_blocks, c.input_encoder_n_conv,
             c.input_encoder_kernel_size, c.input_encoder_n_heads,
             c.dropout, dt)
-        self.c2q_down_projection = DownProjection(c.hsz, c.dropout, dt)
+        self.c2q_down_projection = DownProjection(3 * c.hsz, c.hsz,
+                                                  c.dropout, dt)
         self.cls_encoder = StackedEncoder(
             c.cls_encoder_n_blocks, c.cls_encoder_n_conv,
             c.cls_encoder_kernel_size, c.cls_encoder_n_heads, c.dropout, dt)
@@ -153,8 +154,33 @@ class STAGE(nn.Module):
     def qa_ctx_attention(self, qa_embed, ctx_embed, qa_mask, ctx_mask, *,
                          train, use_void=False):
         """Structured attention + BiDAF-style fusion
-        (reference stage.py:365-387)."""
+        (reference stage.py:365-387).
+
+        With ``use_pallas`` (and no dropout active / non-default void
+        vectors) the whole pipeline runs as one fused TPU kernel — see
+        ops/pallas_attention.py.  The dropout training path stays pure-JAX
+        (the kernel's in-graph rematerialized backward cannot replay the
+        TPU PRNG dropout mask).
+        """
         c = self.cfg
+        use_void = use_void and c.non_visual > 0
+        dropout_active = train and c.dropout > 0.0
+        if c.use_pallas and not use_void and not dropout_active:
+            from tvqaplus_tpu.ops.pallas_attention import \
+                fused_qa_ctx_attention
+            dp = self.c2q_down_projection
+            ce = qa_embed[:, :, 0]                       # (B, A, Lqa, D)
+            qe = ctx_embed[:, 0]                         # (B, Li, Lc, D)
+            mixed, raw_s = fused_qa_ctx_attention(
+                l2_normalize(ce), ce, l2_normalize(qe), qe,
+                qa_mask[:, :, 0], ctx_mask[:, 0],
+                dp.ln_scale, dp.ln_bias, dp.kernel, dp.bias, c.scale)
+            # mixed_mask = (s_mask.sum(-1) != 0): word valid & any region
+            any_region = (jnp.sum(ctx_mask[:, 0], -1) > 0)   # (B, Li)
+            mixed_mask = (qa_mask[:, :, 0][:, :, None, :]
+                          * any_region[:, None, :, None]).astype(jnp.float32)
+            return mixed, mixed_mask, raw_s, None
+
         rng = self.make_rng("dropout") if train else None
         void = self.non_visual_vectors if use_void else None
         u_a, raw_s, s_mask, s_norm = structured_attention(
