@@ -1,0 +1,36 @@
+"""Eval-path (serving) throughput: fused Pallas kernel vs pure-XLA."""
+import sys, os, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax
+from tvqaplus_tpu.config import Config
+from tvqaplus_tpu.data.batching import StaticShapeSpec, collate_static
+from tvqaplus_tpu.data.synthetic import SyntheticTVQADataset
+from tvqaplus_tpu.parallel.mesh import make_mesh, shard_batch
+from tvqaplus_tpu.models.stage import STAGE, ModelConfig
+
+def build(use_pallas, dtype="bfloat16"):
+    cfg = Config(bsz=16, test_bsz=16, synthetic_data=True, use_sup_att=True,
+                 add_local=True, results_dir_base="results/bench",
+                 img_buckets=[50], compute_dtype=dtype, use_pallas=use_pallas)
+    cfg.finalize(save=False)
+    mesh = make_mesh((1,1), devices=jax.devices()[:1])
+    model = STAGE(ModelConfig.from_config(cfg))
+    ds = SyntheticTVQADataset(cfg, cfg.bsz, mode="train")
+    spec = StaticShapeSpec.from_config(cfg, batch=cfg.bsz, max_img=50)
+    arrays, _ = collate_static([ds[i] for i in range(cfg.bsz)], spec)
+    batch = shard_batch(mesh, arrays)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    fwd = jax.jit(lambda p, b: model.apply({"params": p}, b, train=False)["answer_scores"])
+    return variables["params"], batch, fwd
+
+def timeit(fn, *a, n=50):
+    r = fn(*a); jax.block_until_ready(r)
+    t0 = time.time()
+    for _ in range(n): r = fn(*a)
+    jax.block_until_ready(r)
+    return (time.time()-t0)/n*1000
+
+for use_pallas in (False, True):
+    p, b, fwd = build(use_pallas)
+    ms = timeit(fwd, p, b)
+    print(f"eval fwd use_pallas={use_pallas}: {ms:.3f} ms  ({16/ms*1000:.0f} qa/s)", flush=True)

@@ -39,7 +39,8 @@ def test_forward_matches_reference(all_valid):
     args = make_inputs(all_valid=all_valid)
     mixed_ref, raw_ref = pa.reference_impl(*args, scale=10.0)
     mixed_k, raw_k = pa._pallas_forward(*args, scale=10.0, dropout_rate=0.0,
-                                        seed=0, interpret=True)
+                                        seed=0, interpret=True,
+                                        compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.array(mixed_k), np.array(mixed_ref),
                                rtol=2e-4, atol=2e-4)
     # raw scores: compare where defined (padding is -1e10 in both)
@@ -53,7 +54,7 @@ def test_custom_vjp_grads_match_reference():
     def loss_pallas(cn, ce, qn, qe, *rest):
         with pltpu_interpret():
             mixed, raw = pa.fused_qa_ctx_attention(cn, ce, qn, qe, *rest,
-                                                   10.0)
+                                                   10.0, jnp.float32)
         return jnp.sum(mixed ** 2) + jnp.sum(jnp.where(raw > -1e9, raw, 0.0))
 
     def loss_ref(cn, ce, qn, qe, *rest):
@@ -83,3 +84,13 @@ def test_dropout_path_runs_and_differs():
     assert not np.allclose(np.array(mixed0), np.array(mixed1))
     # dropout keeps ~half the pre-projection activations; output still finite
     assert np.isfinite(np.array(mixed1)).all()
+
+
+def test_bfloat16_kernel_close():
+    args = make_inputs(all_valid=True)
+    mixed_ref, _ = pa.reference_impl(*args, scale=10.0)
+    mixed_k, _ = pa._pallas_forward(*args, scale=10.0, dropout_rate=0.0,
+                                    seed=0, interpret=True,
+                                    compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.array(mixed_k), np.array(mixed_ref),
+                               rtol=0.1, atol=0.05)

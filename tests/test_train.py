@@ -152,6 +152,20 @@ class TestEndToEnd:
         assert acc > 0.3  # planted signal should beat 0.2 chance
         assert len(qid_corrects) == 16
 
+    def test_hard_negative_step(self, tmp_path):
+        """Hard-negative sampling engages after hard_negative_start
+        (reference main.py:227); the jitted step must stay finite."""
+        cfg = small_cfg(tmp_path, use_sup_att=True)
+        mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+        trainer = Trainer(cfg, mesh=mesh)
+        ds = SyntheticTVQADataset(cfg, 8, mode="train")
+        pipe = trainer._pipeline(ds, shuffle=False, batch_size=4)
+        for batch, _, _ in pipe:
+            trainer.state, metrics = trainer._train_step(
+                trainer.state, batch, trainer.rng, use_hard_negatives=True)
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["att_n_pairs"]) > 0
+
     def test_data_parallel_2dev(self, tmp_path):
         cfg = small_cfg(tmp_path, bsz=8, test_bsz=8)
         mesh = make_mesh((2, 1), devices=jax.devices()[:2])

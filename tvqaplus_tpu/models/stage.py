@@ -174,7 +174,8 @@ class STAGE(nn.Module):
             mixed, raw_s = fused_qa_ctx_attention(
                 l2_normalize(ce), ce, l2_normalize(qe), qe,
                 qa_mask[:, :, 0], ctx_mask[:, 0],
-                dp.ln_scale, dp.ln_bias, dp.kernel, dp.bias, c.scale)
+                dp.ln_scale, dp.ln_bias, dp.kernel, dp.bias, c.scale,
+                c.dtype)
             # mixed_mask = (s_mask.sum(-1) != 0): word valid & any region
             any_region = (jnp.sum(ctx_mask[:, 0], -1) > 0)   # (B, Li)
             mixed_mask = (qa_mask[:, :, 0][:, :, None, :]

@@ -9,12 +9,13 @@ Why: the train/eval step is activation-bandwidth-bound.  The pure-XLA path
 materializes, per stream, S (B,A,Li,Lqa,Lr), its softmax, A (B,A,Li,Lqa,D)
 and the 3D-wide concat (B,A,Li,Lqa,3D) in HBM — several hundred MB per step
 at the reference shapes.  The kernel computes ``mixed`` directly and writes
-only it (+ the raw scores needed by the attention loss), keeping everything
-else in VMEM.
+only it (+ the raw scores needed by the attention loss); everything else
+lives in VMEM/registers.
 
-Grid: one program per (batch, answer).  The full per-video context block
-(Li*Lr, D) sits in VMEM (640 KB at reference shapes) and is re-fetched only
-when the batch index changes; the kernel loops over frames internally.
+Grid: one program per (batch, frame); all five answers are processed
+together as one (A*Lqa, D) block, so every op is a static-shape matmul on
+the MXU (bf16 inputs, f32 accumulation).  The QA block is re-fetched only
+when the batch index changes.
 
 The similarity dropout (reference context_query_attention.py:95-96) is
 applied by the caller on the normalized inputs (they are kernel inputs
@@ -29,7 +30,6 @@ saved between forward and backward).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,56 +43,56 @@ LN_EPS = 1e-5
 
 def _kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
             gamma_ref, beta_ref, w_ref, b_ref,
-            mixed_ref, raw_ref, *, scale, num_img, num_region, dropout_rate):
-    """One (batch, answer) cell.
+            mixed_ref, raw_ref, *, scale, dropout_rate, compute_dtype):
+    """One (batch, frame) cell; static unroll over the 5 answers (Mosaic
+    forbids the cross-lane reshapes a merged (A*Lqa, D) layout would need).
 
-    Refs:
-      cn/ce: (Lqa, D) normalized / raw QA embeddings
-      qn/qe: (Li*Lr, D) normalized / raw context
-      cm: (1, Lqa) QA mask; qm: (Li, Lr) context mask
-      gamma/beta: (1, 3D) LayerNorm params; w: (3D, D); b: (1, D)
-      mixed_ref: (Li, Lqa, D) output; raw_ref: (Li, Lqa, Lr) masked scores
+    Refs (leading singleton block dims included):
+      cn/ce: (1, A, Lqa, D) normalized / raw QA embeddings
+      qn/qe: (1, 1, Lr, D) normalized / raw context for this frame
+      cm: (1, A, Lqa, 1) QA mask; qm: (1, 1, 1, Lr) context mask
+      gamma/beta: (1, 3D); w: (3D, D); b: (1, D)
+      mixed_ref: (1, A, 1, Lqa, D); raw_ref: (1, A, 1, Lqa, Lr)
     """
-    lqa, d = cn_ref.shape[-2:]
-    cn = cn_ref[0, 0]                                  # (Lqa, D)
-    ce = ce_ref[0, 0]
-    c_mask = cm_ref[0, 0, :]                           # (Lqa,)
+    a_dim, lqa, d = cn_ref.shape[1:]
+    ct = compute_dtype
+
+    qn = qn_ref[0, 0].astype(ct)                        # (Lr, D)
+    qe = qe_ref[0, 0].astype(ct)
+    q_mask = qm_ref[0, 0].astype(jnp.float32)           # (1, Lr)
     if dropout_rate > 0.0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
 
-    # big similarity matmul for ALL frames at once: (Lqa, Li*Lr)
-    s_all = jax.lax.dot_general(
-        cn, qn_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (Lqa, Li*Lr)
-
     gamma = gamma_ref[0, :]
     beta = beta_ref[0, :]
-    w = w_ref[:]                                       # (3D, D)
     bias = b_ref[0, :]
-
     inv3d = 1.0 / (3 * d)
 
-    def frame_body(i, _):
-        s = jax.lax.dynamic_slice_in_dim(
-            s_all, i * num_region, num_region, axis=1)    # (Lqa, Lr)
-        qm = qm_ref[0, i, :]                               # (Lr,)
-        s_mask = c_mask[:, None] * qm[None, :]
-        masked = s - NEG_INF * (s_mask - 1.0)              # s - 1e10*(1-m)
-        raw_ref[0, 0, i] = masked
+    for ai in range(a_dim):  # static unroll
+        cn = cn_ref[0, ai].astype(ct)                   # (Lqa, D)
+        ce = ce_ref[0, ai].astype(jnp.float32)
+        c_mask = cm_ref[0, ai].astype(jnp.float32)      # (Lqa, 1)
+
+        s = jax.lax.dot_general(
+            cn, qn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (Lqa, Lr)
+        s_mask = c_mask * q_mask
+        masked = s - NEG_INF * (s_mask - 1.0)           # s - 1e10*(1-m)
+        raw_ref[0, ai, 0] = masked
+
         z = jnp.maximum(masked * scale, SAFE_FLOOR)
         z = z - jnp.max(z, axis=-1, keepdims=True)
         e = jnp.exp(z)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        p = p * s_mask                                     # (Lqa, Lr)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)) * s_mask
 
-        qe = qe_ref[0, pl.ds(i * num_region, num_region), :]  # (Lr, D)
         a = jax.lax.dot_general(
-            p, qe, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (Lqa, D)
+            p.astype(ct), qe, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (Lqa, D)
 
         # LayerNorm over the virtual concat [ce; a; ce*a] (3D wide)
         cea = ce * a
-        mean = (jnp.sum(ce, -1, keepdims=True) + jnp.sum(a, -1, keepdims=True)
+        mean = (jnp.sum(ce, -1, keepdims=True)
+                + jnp.sum(a, -1, keepdims=True)
                 + jnp.sum(cea, -1, keepdims=True)) * inv3d
         var = (jnp.sum(jnp.square(ce), -1, keepdims=True)
                + jnp.sum(jnp.square(a), -1, keepdims=True)
@@ -101,7 +101,7 @@ def _kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
         inv_std = jax.lax.rsqrt(var + LN_EPS)
 
         def part(x, k):
-            lo, hi = k * d, (k + 1) * d  # static segment of the 3D concat
+            lo, hi = k * d, (k + 1) * d  # static concat segment
             normed = (x - mean) * inv_std * gamma[lo:hi] + beta[lo:hi]
             if dropout_rate > 0.0:
                 bits = pltpu.prng_random_bits((lqa, d))
@@ -109,49 +109,49 @@ def _kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
                 keep = (u >= dropout_rate).astype(jnp.float32)
                 normed = normed * keep * (1.0 / (1.0 - dropout_rate))
             return jax.lax.dot_general(
-                normed, w[lo:hi, :], (((1,), (0,)), ((), ())),
+                normed.astype(ct), w_ref[lo:hi, :].astype(ct),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         out = part(ce, 0) + part(a, 1) + part(cea, 2) + bias
-        mixed_ref[0, 0, i] = jnp.maximum(out, 0.0)
-        return 0
-
-    jax.lax.fori_loop(0, num_img, frame_body, 0)
+        mixed_ref[0, ai, 0] = jnp.maximum(out, 0.0)
 
 
 def _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
-                    scale, dropout_rate, seed, interpret=False):
+                    scale, dropout_rate, seed, interpret=False,
+                    compute_dtype=jnp.bfloat16):
     """Launch the kernel.  Shapes:
       cn/ce: (B, A, Lqa, D); qn/qe: (B, Li, Lr, D);
       c_mask: (B, A, Lqa); q_mask: (B, Li, Lr).
-    Returns mixed (B, A, Li, Lqa, D), raw_S (B, A, Li, Lqa, Lr).
+    Returns mixed (B, A, Li, Lqa, D), raw_S (B, A, Li, Lqa, Lr), f32.
     """
     bsz, num_a, lqa, d = cn.shape
     _, li, lr, _ = qn.shape
-    qn_flat = qn.reshape(bsz, li * lr, d)
-    qe_flat = qe.reshape(bsz, li * lr, d)
     seed_arr = jnp.asarray([seed], jnp.int32)
 
-    kernel = functools.partial(_kernel, scale=scale, num_img=li,
-                               num_region=lr, dropout_rate=dropout_rate)
+    kernel = functools.partial(_kernel, scale=scale,
+                               dropout_rate=dropout_rate,
+                               compute_dtype=compute_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bsz, num_a),
+        grid=(bsz, li),
         in_specs=[
-            pl.BlockSpec((1, 1, lqa, d), lambda i, j, s: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, lqa, d), lambda i, j, s: (i, j, 0, 0)),
-            pl.BlockSpec((1, li * lr, d), lambda i, j, s: (i, 0, 0)),
-            pl.BlockSpec((1, li * lr, d), lambda i, j, s: (i, 0, 0)),
-            pl.BlockSpec((1, 1, lqa), lambda i, j, s: (i, j, 0)),
-            pl.BlockSpec((1, li, lr), lambda i, j, s: (i, 0, 0)),
+            pl.BlockSpec((1, num_a, lqa, d), lambda i, j, s: (i, 0, 0, 0)),
+            pl.BlockSpec((1, num_a, lqa, d), lambda i, j, s: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, lr, d), lambda i, j, s: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, lr, d), lambda i, j, s: (i, j, 0, 0)),
+            pl.BlockSpec((1, num_a, lqa, 1), lambda i, j, s: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, lr), lambda i, j, s: (i, j, 0, 0)),
             pl.BlockSpec((1, 3 * d), lambda i, j, s: (0, 0)),
             pl.BlockSpec((1, 3 * d), lambda i, j, s: (0, 0)),
             pl.BlockSpec((3 * d, d), lambda i, j, s: (0, 0)),
             pl.BlockSpec((1, d), lambda i, j, s: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, li, lqa, d), lambda i, j, s: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, 1, li, lqa, lr), lambda i, j, s: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, num_a, 1, lqa, d),
+                         lambda i, j, s: (i, 0, j, 0, 0)),
+            pl.BlockSpec((1, num_a, 1, lqa, lr),
+                         lambda i, j, s: (i, 0, j, 0, 0)),
         ],
     )
     mixed, raw = pl.pallas_call(
@@ -163,10 +163,10 @@ def _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
         ],
         interpret=interpret,
     )(seed_arr,
-      cn.reshape(bsz, num_a, lqa, d).astype(jnp.float32),
-      ce.reshape(bsz, num_a, lqa, d).astype(jnp.float32),
-      qn_flat.astype(jnp.float32), qe_flat.astype(jnp.float32),
-      c_mask.astype(jnp.float32), q_mask.astype(jnp.float32),
+      cn.astype(jnp.float32), ce.astype(jnp.float32),
+      qn.astype(jnp.float32), qe.astype(jnp.float32),
+      c_mask.reshape(bsz, num_a, lqa, 1).astype(jnp.float32),
+      q_mask.reshape(bsz, li, 1, lr).astype(jnp.float32),
       gamma.reshape(1, 3 * d).astype(jnp.float32),
       beta.reshape(1, 3 * d).astype(jnp.float32),
       w.astype(jnp.float32), b.reshape(1, d).astype(jnp.float32))
@@ -191,23 +191,25 @@ def reference_impl(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, scale):
     return mixed, masked
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def fused_qa_ctx_attention(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
-                           scale):
+                           scale, compute_dtype=jnp.bfloat16):
     """Pallas forward / rematerialized pure-JAX backward (eval & no-dropout
     training path)."""
     return _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
                            scale, dropout_rate=0.0, seed=0,
-                           interpret=jax.default_backend() != "tpu")
+                           interpret=jax.default_backend() != "tpu",
+                           compute_dtype=compute_dtype)
 
 
-def _fused_fwd(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, scale):
+def _fused_fwd(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, scale,
+               compute_dtype):
     out = fused_qa_ctx_attention(cn, ce, qn, qe, c_mask, q_mask, gamma,
-                                 beta, w, b, scale)
+                                 beta, w, b, scale, compute_dtype)
     return out, (cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b)
 
 
-def _fused_bwd(scale, residuals, g):
+def _fused_bwd(scale, compute_dtype, residuals, g):
     cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b = residuals
     _, vjp = jax.vjp(
         lambda *args: reference_impl(*args, scale), cn, ce, qn, qe,
