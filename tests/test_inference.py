@@ -1,0 +1,70 @@
+"""Inference-path unit tests: time conversion + grounding records."""
+import numpy as np
+
+from tvqaplus_tpu.infer.predict import get_att_predictions, spans_to_seconds
+
+
+class TestSpansToSeconds:
+    def test_reference_math(self):
+        # offset = (first_img_id % 6) / 3; [st*2+off, (ed+1)*2+off]
+        # (reference inference.py:68-72)
+        assert spans_to_seconds(0, 0, first_img_id=3) == [1.0, 3.0]
+        assert spans_to_seconds(2, 4, first_img_id=6) == [4.0, 10.0]
+
+    def test_py2_division_compat(self):
+        # python2 floors the offset division: 1 % 6 / 3 -> 0
+        assert spans_to_seconds(0, 0, 1, py2_offset_div=True) == [0, 2]
+        ts = spans_to_seconds(0, 0, 1, py2_offset_div=False)
+        assert abs(ts[0] - 1 / 3) < 1e-9
+
+    def test_double_frame_rate(self):
+        # stretch config: frame_interval 3 -> 1 s per grid step;
+        # first img id 3 -> offset (3 % 3)/3 = 0
+        assert spans_to_seconds(0, 1, 3, frame_interval=3) == [0.0, 2.0]
+        assert spans_to_seconds(0, 1, 4, frame_interval=3) == [1 / 3, 2 + 1 / 3]
+
+
+class TestAttPredictions:
+    def _scores(self):
+        # (B=1, 5, Li=2, Lqa=3, Lr=2)
+        scores = np.full((1, 5, 2, 3, 2), -1.0, np.float32)
+        scores[0, 2, 1, 0, 0] = 0.9   # answer 2, img 1, word 0, region 0
+        scores[0, 2, 1, 0, 1] = 0.3
+        scores[0, 2, 1, 1, 0] = 0.25  # word 1 (not in object vocab)
+        return scores
+
+    def test_records_threshold_and_order(self):
+        scores = self._scores()
+        words = np.zeros((1, 5, 3), np.int32)
+        words[0, 2, 0] = 7   # object-vocab word
+        words[0, 2, 1] = 99  # not in object vocab
+        boxes = [[[[0, 0, 10, 10]], [[0, 0, 10, 10], [5, 5, 20, 20]]]]
+        preds = get_att_predictions(
+            scores, words, object_word_ids={7}, qids=[42],
+            vid_names=["vidA"], img_indices=[[3, 9]], boxes=boxes,
+            start_indices=[0], score_thd=0.2)
+        assert len(preds) == 1
+        rec = preds[0]
+        assert set(rec.keys()) == {0, 1, 2, 3, 4}
+        entries = rec[2]
+        # word 0 appears for both images; img 0 has no score >= 0.2
+        by_img = {e["img_idx"]: e for e in entries}
+        assert by_img[3]["pred"] == []          # below threshold
+        e9 = by_img[9]
+        # ascending score order (reference stage.py:793-795)
+        assert e9["pred"] == sorted(e9["pred"])
+        assert abs(e9["pred"][0] - 0.3) < 1e-6
+        assert abs(e9["pred"][1] - 0.9) < 1e-6
+        assert e9["qid"] == 42 and e9["vid_name"] == "vidA"
+        assert e9["word"] == 7
+
+    def test_regions_clipped_to_box_count(self):
+        scores = self._scores()
+        words = np.zeros((1, 5, 3), np.int32)
+        words[0, 2, 0] = 7
+        # img 1 has only ONE box -> region 1's 0.3 score must be ignored
+        boxes = [[[[0, 0, 10, 10]], [[0, 0, 10, 10]]]]
+        preds = get_att_predictions(
+            scores, words, {7}, [1], ["v"], [[3, 9]], boxes, [0])
+        e9 = [e for e in preds[0][2] if e["img_idx"] == 9][0]
+        assert len(e9["pred"]) == 1 and abs(e9["pred"][0] - 0.9) < 1e-6

@@ -121,7 +121,9 @@ class Config:
     # -- TPU-native block ------------------------------------------------
     # Static shape caps.  max_num_img bounds the 0.5 fps image axis: with
     # frame_interval 6 and the 300-frame cap (reference utils.py:159) there
-    # are at most ceil(300/6) = 50 sampled images.
+    # are at most ceil(300/6) = 50 sampled images.  frame_interval 3 gives
+    # the 1 fps stretch configuration (2x frame rate -> max_num_img 100).
+    frame_interval: int = 6
     max_num_img: int = 50
     img_buckets: List[int] = field(default_factory=lambda: [16, 32, 50])
     max_num_proposal: int = 1           # P = max_num_proposal + 1 slots

@@ -120,7 +120,8 @@ class SyntheticTVQADataset:
             "vfeat": vfeat,
             "target": target if not self.inference else 999,
             "ts_label": [st, ed],
-            "ts": [st * 2.0, (ed + 1) * 2.0],
+            # seconds consistent with the grid (first img id 3 -> offset 1s)
+            "ts": [st * 2.0 + 1.0, (ed + 1) * 2.0 + 1.0],
             "anno_st_idx": 0,
             "att_labels_dense": att_dense,
             "image_indices": image_indices,

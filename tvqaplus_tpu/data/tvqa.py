@@ -123,7 +123,8 @@ class TVQAPlusDataset:
         frm_cnt = self.frm_cnt_dict[vid_name]
         located_img_ids = sorted(int(e) for e in entry["bbox"].keys())
         indices, start_idx, end_idx = get_all_img_ids(
-            located_img_ids[0], located_img_ids[-1], frm_cnt)
+            located_img_ids[0], located_img_ids[-1], frm_cnt,
+            frame_interval=cfg.frame_interval)
         indices0 = np.array(indices) - 1  # image ids are 1-indexed
 
         items = {"vid_name": vid_name, "qid": qid, "anno_st_idx": start_idx,

@@ -23,13 +23,19 @@ from tvqaplus_tpu.models import losses, spans
 from tvqaplus_tpu.ops.masking import safe_softmax
 
 
-def spans_to_seconds(st, ed, first_img_id, py2_offset_div=False):
-    """Span grid indices -> seconds (inference.py:68-72)."""
+def spans_to_seconds(st, ed, first_img_id, py2_offset_div=False,
+                     frame_interval=6):
+    """Span grid indices -> seconds (inference.py:68-72).
+
+    At the default 0.5 fps sampling (frame_interval 6 over 3 fps frames) one
+    grid step is 2 s; the stretch 1 fps config (frame_interval 3) gives 1 s.
+    """
+    step = frame_interval / 3
     if py2_offset_div:
-        offset = (first_img_id % 6) // 3
+        offset = (first_img_id % frame_interval) // 3
     else:
-        offset = (first_img_id % 6) / 3
-    return [st * 2 + offset, (ed + 1) * 2 + offset]
+        offset = (first_img_id % frame_interval) / 3
+    return [st * step + offset, (ed + 1) * step + offset]
 
 
 def get_att_predictions(scores, words, object_word_ids, qids, vid_names,
@@ -142,7 +148,8 @@ class InferenceRunner:
                 first_img = img_ids[0] if img_ids else 1
                 ts = spans_to_seconds(int(span_st[j, a]), int(span_ed[j, a]),
                                       first_img,
-                                      self.cfg.py2_offset_div)
+                                      self.cfg.py2_offset_div,
+                                      self.cfg.frame_interval)
                 predictions["ts_answer"][str(qid)] = [ts, a]
             if debug:
                 break
