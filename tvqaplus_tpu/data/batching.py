@@ -111,6 +111,8 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
     meta = {"qid": [], "vid_name": [], "image_indices": [], "boxes": [],
             "ts": []}
 
+    from tvqaplus_tpu import native
+
     for b, ex in enumerate(examples):
         out["ex_mask"][b] = 1.0
         # --- QA text -----------------------------------------------------
@@ -118,21 +120,21 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
             ids = np.asarray(ex["qas"][a], np.int32)[: s.max_qa_l]
             out["qas"][b, a, : len(ids)] = ids
             out["qas_mask"][b, a, : len(ids)] = 1.0
-            bert = np.asarray(ex["qas_bert"][a], np.float32)[: s.max_qa_l]
-            out["qas_bert"][b, a, : len(bert)] = bert
+        native.pad_batch(ex["qas_bert"], s.max_qa_l, s.bert_dim,
+                         out=out["qas_bert"][b], mask=None)
         out["q_l"][b] = ex.get("q_l", 0)
         # --- subtitles ----------------------------------------------------
-        sub_list = ex.get("sub_bert") or []
-        for i, arr in enumerate(sub_list[: s.max_img]):
-            arr = np.asarray(arr, np.float32)[: s.max_sub_l]
-            out["sub_bert"][b, i, : len(arr)] = arr
-            out["sub_mask"][b, i, : len(arr)] = 1.0
+        sub_list = (ex.get("sub_bert") or [])[: s.max_img]
+        if sub_list:
+            native.pad_batch(sub_list, s.max_sub_l, s.bert_dim,
+                             out=out["sub_bert"][b, : len(sub_list)],
+                             mask=out["sub_mask"][b, : len(sub_list)])
         # --- video regions --------------------------------------------------
-        vid_list = ex.get("vfeat") or []
-        for i, arr in enumerate(vid_list[: s.max_img]):
-            arr = np.asarray(arr, np.float32)[: s.num_region]
-            out["vid"][b, i, : len(arr)] = arr
-            out["vid_mask"][b, i, : len(arr)] = 1.0
+        vid_list = (ex.get("vfeat") or [])[: s.max_img]
+        if vid_list:
+            native.pad_batch(vid_list, s.num_region, s.vfeat_dim,
+                             out=out["vid"][b, : len(vid_list)],
+                             mask=out["vid_mask"][b, : len(vid_list)])
         # --- labels ---------------------------------------------------------
         out["target"][b] = ex.get("target", 999)
         ts = ex.get("ts_label", [0, 0])

@@ -20,11 +20,18 @@ PAD_ID, UNK_ID, EOS_ID = 0, 1, 2
 
 def iou_single_gt_box(single_box, detected_boxes):
     """IoUs of one GT box (top/left/width/height dict) against detected
-    xyxy boxes, rounded to 4 decimals (reference tvqa_dataset.py:331-338)."""
+    xyxy boxes, rounded to 4 decimals (reference tvqa_dataset.py:331-338).
+    Uses the native C path when available (hot per-example loop)."""
     gt = [single_box["left"], single_box["top"],
           single_box["left"] + single_box["width"],
           single_box["top"] + single_box["height"]]
-    return [float("{:.4f}".format(compute_iou_xyxy(gt, d))) for d in detected_boxes]
+    if detected_boxes:
+        from tvqaplus_tpu import native
+        if native.available():
+            ious = native.iou_one_vs_many(gt, detected_boxes)
+            return [float("{:.4f}".format(v)) for v in ious]
+    return [float("{:.4f}".format(compute_iou_xyxy(gt, d)))
+            for d in detected_boxes]
 
 
 def build_iou_data(gt_box_data, detected_boxes_per_frame, frm_cnt):
