@@ -127,7 +127,7 @@ class Config:
     max_num_img: int = 50
     img_buckets: List[int] = field(default_factory=lambda: [16, 32, 50])
     max_num_proposal: int = 1           # P = max_num_proposal + 1 slots
-    att_entry_cap: int = 64             # max positive att entries per example
+    att_entry_cap: int = 128            # max positive att entries per example
     compute_dtype: str = "float32"      # {"float32", "bfloat16"}
     mesh_shape: List[int] = field(default_factory=lambda: [-1, 1])  # (data, ctx)
     use_pallas: bool = False            # fused Pallas kernels for the hot ops

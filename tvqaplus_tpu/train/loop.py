@@ -177,20 +177,25 @@ class Trainer:
             self.state, metrics = self._train_step(
                 self.state, batch, self.rng,
                 use_hard_negatives=use_hard_negatives)
-            jax.block_until_ready(metrics["loss"])
+            if cfg.debug:  # per-step timing only in debug (forces a sync)
+                jax.block_until_ready(metrics["loss"])
             meters["forward_backward"].update(time.time() - t0)
 
-            window["loss"].append(float(metrics["loss"]))
-            window["loss_att"].append(float(metrics["loss_att"]))
-            window["loss_ts"].append(float(metrics["loss_ts"]))
-            window["loss_cls"].append(float(metrics["loss_cls"]))
-            window["n_correct"] += float(metrics["n_correct"])
-            window["n"] += float(metrics["n_eff"])
+            # keep device arrays; only materialize at log points (no
+            # per-step host sync)
+            for k in ("loss", "loss_att", "loss_ts", "loss_cls"):
+                window[k].append(metrics[k])
+            window["n_correct"] += metrics["n_correct"]
+            window["n"] += metrics["n_eff"]
 
             if batch_idx % cfg.log_freq == 0:
                 niter = epoch * n_steps + batch_idx
                 if batch_idx > 0:
-                    n = max(window["n"], 1)
+                    window = {k: (jax.device_get(v) if k in
+                                  ("n_correct", "n") else
+                                  [float(x) for x in jax.device_get(v)])
+                              for k, v in window.items()}
+                    n = max(float(window["n"]), 1)
                     self.logger.add_scalar("Train/Acc",
                                            window["n_correct"] / n, niter)
                     self.logger.add_scalar("Train/Loss",
