@@ -137,6 +137,7 @@ class Config:
     synthetic_n_valid: int = 128
     prefetch_depth: int = 2
     profile_dir: str = ""               # if set, dump a jax.profiler trace
+    compilation_cache_dir: str = "~/.cache/tvqaplus_tpu_xla"  # "" disables
 
     # -- derived (filled by finalize()) ----------------------------------
     h5driver: Optional[str] = "core"

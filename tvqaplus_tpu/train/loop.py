@@ -37,9 +37,24 @@ from tvqaplus_tpu.train.state import (
 from tvqaplus_tpu.utils.misc import AverageMeter, count_parameters
 
 
+def enable_compilation_cache(cache_dir):
+    """Persistent XLA compilation cache — one compile per (program, shape)
+    across process restarts (TPU compiles are expensive)."""
+    if not cache_dir:
+        return
+    path = os.path.expanduser(cache_dir)
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the flags
+
+
 class Trainer:
     def __init__(self, cfg, mesh=None, logger=None):
         self.cfg = cfg
+        enable_compilation_cache(getattr(cfg, "compilation_cache_dir", ""))
         self.mesh = mesh if mesh is not None else make_mesh(
             tuple(cfg.mesh_shape))
         self.model_cfg = ModelConfig.from_config(cfg)
@@ -54,6 +69,10 @@ class Trainer:
             {"params": jax.random.PRNGKey(cfg.seed)}, template, train=False)
         self.state, self.tx = create_train_state(
             variables["params"], cfg.lr, cfg.wd, cfg.clip)
+        # lay the state out exactly as the jitted step returns it
+        # (replicated NamedSharding) — a SingleDeviceSharding input would
+        # trigger a second full compile on step 2
+        self.state = jax.device_put(self.state, replicated(self.mesh))
         self.n_params = count_parameters(self.state.params)
         self.scheduler = PlateauScheduler(cfg.lr, mode="max", factor=0.5,
                                           patience=10)
@@ -62,6 +81,8 @@ class Trainer:
         self.start_epoch = 0
         if cfg.resume:
             self.state, extra = load_checkpoint(cfg.resume, self.state)
+            # restored leaves are host numpy; re-place on the mesh
+            self.state = jax.device_put(self.state, replicated(self.mesh))
             self.best_acc = extra.get("best_acc", 0.0)
             self.start_epoch = extra.get("epoch", 0)
             self.scheduler.lr = extra.get("lr", cfg.lr)

@@ -56,8 +56,12 @@ def make_optimizer(lr, weight_decay, clip):
 
 def create_train_state(params, lr, weight_decay=3e-7, clip=10.0):
     tx = make_optimizer(lr, weight_decay, clip)
-    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=tx.init(params)), tx
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    # strongly-type the injected learning rate: inject_hyperparams stores a
+    # weak-typed python float, whose aval differs from the strong f32 the
+    # first jitted step returns — without this every run recompiles twice
+    return state.with_lr(lr), tx
 
 
 class PlateauScheduler:
