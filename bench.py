@@ -63,11 +63,15 @@ def main():
     spec = StaticShapeSpec.from_config(cfg, batch=cfg.bsz, max_img=50)
     arrays, _ = collate_static([ds[i] for i in range(cfg.bsz)], spec)
     from tvqaplus_tpu.parallel.mesh import shard_batch
-    batch = shard_batch(mesh, arrays)
+    # production multi-step dispatch: K optimizer steps per host round trip
+    # (lax.scan, see train/loop.py; exact-equivalence tested)
+    k = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "10"))
+    stacked = {key: np.stack([v] * k) for key, v in arrays.items()}
+    batch = shard_batch(mesh, stacked, stacked=True)
 
     # compile + warmup
     for _ in range(WARMUP):
-        trainer.state, metrics = trainer._train_step(
+        trainer.state, metrics = trainer._train_step_scan(
             trainer.state, batch, trainer.rng, use_hard_negatives=False)
     jax.block_until_ready(metrics["loss"])
 
@@ -75,11 +79,11 @@ def main():
     for _ in range(TRIALS):
         t0 = time.time()
         for _ in range(STEPS):
-            trainer.state, metrics = trainer._train_step(
+            trainer.state, metrics = trainer._train_step_scan(
                 trainer.state, batch, trainer.rng, use_hard_negatives=False)
         jax.block_until_ready(metrics["loss"])
         dt = min(dt, time.time() - t0)
-    qps = cfg.bsz * STEPS / dt
+    qps = cfg.bsz * k * STEPS / dt
 
     baseline = load_torch_baseline()
     vs = qps / baseline if baseline else None
@@ -91,8 +95,8 @@ def main():
     }
     print(json.dumps(result))
     # secondary detail to stderr (not part of the contract line)
-    print(f"# step_ms={1000*dt/STEPS:.2f} dtype={compute_dtype} "
-          f"pallas={use_pallas} devices={n_dev} "
+    print(f"# step_ms={1000*dt/(STEPS*k):.3f} steps_per_dispatch={k} "
+          f"dtype={compute_dtype} pallas={use_pallas} devices={n_dev} "
           f"torch_cpu_baseline={baseline}", file=sys.stderr)
     return result
 

@@ -27,7 +27,7 @@ class DataPipeline:
     """Iterable over (device_batch, meta, bucket) tuples."""
 
     def __init__(self, dataset, cfg, mesh=None, batch_size=16, shuffle=False,
-                 seed=0, drop_last=False, prefetch_depth=2):
+                 seed=0, drop_last=False, prefetch_depth=2, group=1):
         self.dataset = dataset
         self.cfg = cfg
         self.mesh = mesh
@@ -36,6 +36,7 @@ class DataPipeline:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch_depth = max(1, prefetch_depth)
+        self.group = max(1, group)  # stack K same-bucket batches per yield
         self.base_spec = StaticShapeSpec.from_config(cfg, batch=batch_size)
         self.buckets = sorted(set(
             min(b, cfg.max_num_img) for b in cfg.img_buckets))
@@ -63,9 +64,32 @@ class DataPipeline:
             arrays, meta = collate_static(examples, spec)
             yield arrays, meta, bucket
 
-    def _place(self, arrays):
+    def _grouped_batches(self):
+        """Stack `group` consecutive same-bucket batches along a new leading
+        axis K (for the lax.scan multi-step dispatch); leftovers and bucket
+        changes flush as single batches."""
+        buf, buf_meta, buf_bucket = [], [], None
+        for arrays, meta, bucket in self._batches():
+            if buf and bucket != buf_bucket:
+                for a, m in zip(buf, buf_meta):
+                    yield a, m, buf_bucket
+                buf, buf_meta = [], []
+            buf.append(arrays)
+            buf_meta.append(meta)
+            buf_bucket = bucket
+            if len(buf) == self.group:
+                stacked = {k: np.stack([b[k] for b in buf])
+                           for k in buf[0]}
+                merged = {k: sum((m[k] for m in buf_meta), [])
+                          for k in buf_meta[0]}
+                yield stacked, merged, buf_bucket
+                buf, buf_meta = [], []
+        for a, m in zip(buf, buf_meta):
+            yield a, m, buf_bucket
+
+    def _place(self, arrays, stacked=False):
         if self.mesh is not None:
-            return shard_batch(self.mesh, arrays)
+            return shard_batch(self.mesh, arrays, stacked=stacked)
         return {k: jax.device_put(v) for k, v in arrays.items()}
 
     def __iter__(self):
@@ -74,10 +98,15 @@ class DataPipeline:
         sentinel = object()
         err = []
 
+        source = (self._grouped_batches() if self.group > 1
+                  else self._batches())
+
         def producer():
             try:
-                for arrays, meta, bucket in self._batches():
-                    q.put((self._place(arrays), meta, bucket))
+                for arrays, meta, bucket in source:
+                    stacked = arrays["ex_mask"].ndim == 2
+                    q.put((self._place(arrays, stacked=stacked), meta,
+                           bucket))
             except Exception as e:  # surface in consumer
                 err.append(e)
             finally:

@@ -52,21 +52,27 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def batch_shardings(mesh, batch):
-    """Per-key NamedSharding for a batch dict."""
+def batch_shardings(mesh, batch, stacked=False):
+    """Per-key NamedSharding for a batch dict.
+
+    stacked=True: arrays carry a leading K (steps-per-dispatch) axis that is
+    replicated; the batch axis moves to dim 1.
+    """
+    lead = (None,) if stacked else ()
     out = {}
     for k, v in batch.items():
-        if k in _LI_KEYS and np.ndim(v) >= 2:
-            spec = P("data", "ctx")
-        elif np.ndim(v) >= 1:
-            spec = P("data")
+        ndim_min = (3, 2) if stacked else (2, 1)
+        if k in _LI_KEYS and np.ndim(v) >= ndim_min[0]:
+            spec = P(*lead, "data", "ctx")
+        elif np.ndim(v) >= ndim_min[1]:
+            spec = P(*lead, "data")
         else:
             spec = P()
         out[k] = NamedSharding(mesh, spec)
     return out
 
 
-def shard_batch(mesh, batch):
+def shard_batch(mesh, batch, stacked=False):
     """Host numpy batch -> device arrays laid out on the mesh."""
-    shardings = batch_shardings(mesh, batch)
+    shardings = batch_shardings(mesh, batch, stacked=stacked)
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}

@@ -100,7 +100,7 @@ class Trainer:
     def _build_steps(self):
         model, tx, loss_kwargs = self.model, self.tx, self._loss_kwargs
 
-        def train_step(state: TrainState, batch, rng, use_hard_negatives):
+        def step_body(state: TrainState, batch, rng, use_hard_negatives):
             step_rng = jax.random.fold_in(rng, state.step)
             drop_rng, att_rng = jax.random.split(step_rng)
 
@@ -123,6 +123,17 @@ class Trainer:
                 lambda a, g: a + jnp.sum(jnp.square(g)), grads, 0.0) ** 0.5
             return new_state, metrics
 
+        def train_step(state, batch, rng, use_hard_negatives):
+            return step_body(state, batch, rng, use_hard_negatives)
+
+        def train_step_scan(state, batches, rng, use_hard_negatives):
+            """K optimizer steps in ONE dispatch: lax.scan over a batch
+            stack (leading axis K).  Amortizes the per-call host latency
+            that dominates small-batch training (docs/BENCH.md)."""
+            def body(state, batch):
+                return step_body(state, batch, rng, use_hard_negatives)
+            return jax.lax.scan(body, state, batches)
+
         def eval_step(state: TrainState, batch):
             out = model.apply({"params": state.params}, batch, train=False)
             _, metrics = losses.total_loss(
@@ -135,14 +146,32 @@ class Trainer:
             train_step, static_argnames=("use_hard_negatives",),
             donate_argnums=(0,),
             out_shardings=(repl, repl))
+        self._train_step_scan = jax.jit(
+            train_step_scan, static_argnames=("use_hard_negatives",),
+            donate_argnums=(0,),
+            out_shardings=(repl, repl))
         self._eval_step = jax.jit(eval_step, out_shardings=(repl, repl))
 
     # ------------------------------------------------------------------
-    def _pipeline(self, dataset, shuffle, batch_size):
+    def _pipeline(self, dataset, shuffle, batch_size, group=1):
         return DataPipeline(dataset, self.cfg, mesh=self.mesh,
                             batch_size=batch_size, shuffle=shuffle,
                             seed=self.cfg.seed,
-                            prefetch_depth=self.cfg.prefetch_depth)
+                            prefetch_depth=self.cfg.prefetch_depth,
+                            group=group)
+
+    def _dispatch_train(self, batch, use_hard_negatives):
+        """Single- or multi-step (stacked) dispatch; returns summed metrics."""
+        if batch["ex_mask"].ndim == 2:  # (K, B): lax.scan multi-step
+            self.state, metrics = self._train_step_scan(
+                self.state, batch, self.rng,
+                use_hard_negatives=use_hard_negatives)
+            return {k: (v.sum(0) if getattr(v, "ndim", 0) > 0 else v)
+                    for k, v in metrics.items()}
+        self.state, metrics = self._train_step(
+            self.state, batch, self.rng,
+            use_hard_negatives=use_hard_negatives)
+        return metrics
 
     def validate(self, dataset, max_batches=None):
         """Full pass over the valid split; returns (acc, loss, qid_corrects)
@@ -177,7 +206,8 @@ class Trainer:
         """One epoch (reference main.py:18-148).  Returns best val acc."""
         cfg = self.cfg
         dataset.set_mode("train")
-        pipeline = self._pipeline(dataset, shuffle=True, batch_size=cfg.bsz)
+        pipeline = self._pipeline(dataset, shuffle=True, batch_size=cfg.bsz,
+                                  group=cfg.steps_per_dispatch)
         # the background pipeline folds the reference's separate
         # dataloading/prepare_inputs phases into one staged phase
         meters = {k: AverageMeter() for k in
@@ -195,9 +225,7 @@ class Trainer:
                 profiling = True
             meters["dataloading"].update(time.time() - timer)
             t0 = time.time()
-            self.state, metrics = self._train_step(
-                self.state, batch, self.rng,
-                use_hard_negatives=use_hard_negatives)
+            metrics = self._dispatch_train(batch, use_hard_negatives)
             if cfg.debug:  # per-step timing only in debug (forces a sync)
                 jax.block_until_ready(metrics["loss"])
             meters["forward_backward"].update(time.time() - t0)
