@@ -27,7 +27,7 @@ def build_datasets(cfg):
         return train, valid
     from tvqaplus_tpu.data.tvqa import TVQAPlusDataset
     train = TVQAPlusDataset(cfg, mode="train")
-    valid = TVQAPlusDataset(cfg, mode="valid")
+    valid = train.view("valid")  # shares the loaded artifacts
     return train, valid
 
 

@@ -189,3 +189,12 @@ class TestTVQAPlusDataset:
     def test_eval_object_word_ids(self, artifacts):
         ds = TVQAPlusDataset(make_cfg(artifacts), mode="train")
         assert ds.vocab.get("laptop") in ds.eval_object_word_ids
+
+    def test_view_shares_artifacts_independent_mode(self, artifacts):
+        ds = TVQAPlusDataset(make_cfg(artifacts), mode="train")
+        valid = ds.view("valid")
+        assert valid.qa_bert_h5 is ds.qa_bert_h5  # shared handle
+        assert valid.mode == "valid" and ds.mode == "train"
+        assert len(valid) == 1 and len(ds) == 2
+        valid.set_mode("train")
+        assert ds.mode == "train" and len(valid) == 2

@@ -173,7 +173,12 @@ class Vocabulary:
             vocab.embedding = mat
         return vocab
 
-    def numericalize(self, sentence, eos=True):
+    def numericalize(self, sentence, eos=True, match=False):
+        """Words -> ids; ``match`` first normalizes to Stanford-tokenizer
+        form (reference tvqa_dataset.py:410-416)."""
+        if match:
+            from tvqaplus_tpu.utils.misc import match_stanford_tokenizer
+            sentence = match_stanford_tokenizer(sentence)
         return [self.get(w) for w in line_to_words(sentence, eos=eos)]
 
     def numericalize_hier_vcpt(self, vcpt_words_list):

@@ -102,6 +102,16 @@ class TVQAPlusDataset:
         self.inference = mode == "test"
         self.cur_data = self.get_cur_dict()
 
+    def view(self, mode):
+        """Shallow split view: shares every loaded artifact (h5 handles, the
+        RAM-resident core-driver data, vocab) but has independent
+        mode/cur_data — needed because the prefetch thread reads the train
+        view while validation runs on the valid view."""
+        import copy
+        v = copy.copy(self)
+        v.set_mode(mode)
+        return v
+
     def get_cur_dict(self):
         if self.mode == "train":
             return self.raw_train

@@ -205,6 +205,12 @@ class Trainer:
                     valid_dataset=None):
         """One epoch (reference main.py:18-148).  Returns best val acc."""
         cfg = self.cfg
+        # the prefetch producer thread reads `dataset` concurrently with the
+        # mid-epoch validation passes — the two splits must be distinct
+        # objects (unlike the reference's single mode-switched dataset,
+        # whose fork-based workers were isolated)
+        assert valid_dataset is not dataset, (
+            "pass separate train/valid dataset objects")
         dataset.set_mode("train")
         pipeline = self._pipeline(dataset, shuffle=True, batch_size=cfg.bsz,
                                   group=cfg.steps_per_dispatch)
