@@ -1,0 +1,239 @@
+"""Numerical parity against the ACTUAL reference implementation.
+
+Loads the reference PyTorch STAGE (read-only at /root/reference), copies the
+flax parameters into it, runs both forwards on the same batch (eval mode, no
+dropout) and compares: answer scores, span logits/probabilities, raw cosine
+attention scores and the temporal loss.  This pins the whole re-design —
+encoders, structured attention, fusion, span heads, proposal pooling — to
+the reference semantics, not just to our own oracles.
+
+Skipped when the reference checkout is unavailable.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "model")),
+                                reason="reference checkout not available")
+
+B, A, LI, LQA, LS, LR = 2, 5, 4, 7, 6, 5
+DE, DV, H = 16, 12, 16
+
+
+def _load_reference_stage(add_local):
+    import torch  # noqa
+    sys.path.insert(0, os.path.join(REF, "model"))
+    sys.path.insert(0, REF)
+    from types import SimpleNamespace
+    import importlib
+    stage_mod = importlib.import_module("stage")
+    opt = SimpleNamespace(
+        sub_flag=True, vfeat_flag=True, vfeat_size=DV, t_iter=0,
+        extra_span_length=3, add_local=add_local, use_sup_att=False,
+        num_negatives=2, negative_pool_size=0, num_hard=2, drop_topk=0,
+        margin=0.1, att_loss_type="lse", scale=10.0, alpha=20.0,
+        dropout=0.1, hsz=H, embedding_size=DE,
+        input_encoder_n_blocks=1, input_encoder_n_conv=2,
+        input_encoder_kernel_size=7, input_encoder_n_heads=0,
+        cls_encoder_n_blocks=1, cls_encoder_n_conv=2,
+        cls_encoder_kernel_size=5, cls_encoder_n_heads=0,
+        add_non_visual=False,
+    )
+    model = stage_mod.STAGE(opt)
+    model.eval()
+    return model
+
+
+def _tiny_flax(add_local):
+    import jax
+    from tvqaplus_tpu.models.stage import STAGE, ModelConfig
+    cfg = ModelConfig(hsz=H, bridge_hsz=300, embedding_size=DE,
+                      vfeat_size=DV, add_local=add_local)
+    model = STAGE(cfg)
+    batch = _np_batch()
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    return model, variables
+
+
+def _np_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    f32 = np.float32
+    return {
+        "qas": rng.integers(0, 40, (B, A, LQA)).astype(np.int32),
+        "qas_mask": (np.arange(LQA) < 5).astype(f32)[None, None].repeat(
+            B, 0).repeat(A, 1),
+        "qas_bert": rng.standard_normal((B, A, LQA, DE)).astype(f32),
+        "q_l": np.full((B,), 3, np.int32),
+        "sub_bert": rng.standard_normal((B, LI, LS, DE)).astype(f32),
+        "sub_mask": (np.arange(LS) < 4).astype(f32)[None, None].repeat(
+            B, 0).repeat(LI, 1),
+        "vid": rng.standard_normal((B, LI, LR, DV)).astype(f32),
+        "vid_mask": (np.arange(LR) < 4).astype(f32)[None, None].repeat(
+            B, 0).repeat(LI, 1),
+        "target": np.array([1, 3], np.int32),
+        "ts_st": np.array([0, 1], np.int32),
+        "ts_ed": np.array([1, 2], np.int32),
+        "ts_mask": np.ones((B, LI), f32),
+        "att_labels": np.zeros((B, LI, LQA, LR), f32),
+        "att_defined": np.zeros((B, LI, LQA, LR), f32),
+        "anno_st": np.zeros((B,), np.int32),
+        "ex_mask": np.ones((B,), f32),
+    }
+
+
+def _copy_flax_to_torch(params, tmodel):
+    """Map the flax param tree onto the reference model's state_dict."""
+    import torch
+
+    def t(x):
+        return torch.from_numpy(np.array(x))
+
+    sd = {}
+
+    def bridge(dst, src):  # Sequential(LN, Drop, Linear, ReLU, LN)
+        sd[f"{dst}.0.weight"] = t(src["ln_in"]["scale"])
+        sd[f"{dst}.0.bias"] = t(src["ln_in"]["bias"])
+        sd[f"{dst}.2.weight"] = t(src["fc"]["kernel"]).T
+        sd[f"{dst}.2.bias"] = t(src["fc"]["bias"])
+        sd[f"{dst}.4.weight"] = t(src["ln_out"]["scale"])
+        sd[f"{dst}.4.bias"] = t(src["ln_out"]["bias"])
+
+    bridge("bert_word_encoding_fc", params["bert_word_encoding_fc"])
+    bridge("vid_fc", params["vid_fc"])
+    bridge("concat_fc", params["concat_fc"])
+
+    ie = params["input_embedding"]  # Sequential(Drop, Linear, ReLU, LN)
+    sd["input_embedding.1.weight"] = t(ie["fc"]["kernel"]).T
+    sd["input_embedding.1.bias"] = t(ie["fc"]["bias"])
+    sd["input_embedding.3.weight"] = t(ie["ln_out"]["scale"])
+    sd["input_embedding.3.bias"] = t(ie["ln_out"]["bias"])
+
+    def encoder(dst, src, n_conv=2):
+        blk = src["block_0"]
+        for i in range(n_conv):
+            sd[f"{dst}.stacked_encoderBlocks.0.layer_norm.{i}.weight"] = \
+                t(blk[f"ln_{i}"]["scale"])
+            sd[f"{dst}.stacked_encoderBlocks.0.layer_norm.{i}.bias"] = \
+                t(blk[f"ln_{i}"]["bias"])
+            conv = blk[f"conv_{i}"]
+            # mine: depthwise (k, D); torch Conv1d groups=D: (D, 1, k)
+            sd[f"{dst}.stacked_encoderBlocks.0.conv.{i}"
+               f".depthwise_conv.weight"] = t(conv["depthwise"]).T.unsqueeze(1)
+            sd[f"{dst}.stacked_encoderBlocks.0.conv.{i}"
+               f".depthwise_conv.bias"] = t(conv["depthwise_bias"])
+            # mine: pointwise kernel (in, out); torch: (out, in, 1)
+            sd[f"{dst}.stacked_encoderBlocks.0.conv.{i}"
+               f".pointwise_conv.weight"] = \
+                t(conv["pointwise"]["kernel"]).T.unsqueeze(2)
+            sd[f"{dst}.stacked_encoderBlocks.0.conv.{i}"
+               f".pointwise_conv.bias"] = t(conv["pointwise"]["bias"])
+        sd[f"{dst}.stacked_encoderBlocks.0.final_layer_norm.weight"] = \
+            t(blk["final_ln"]["scale"])
+        sd[f"{dst}.stacked_encoderBlocks.0.final_layer_norm.bias"] = \
+            t(blk["final_ln"]["bias"])
+
+    encoder("input_encoder", params["input_encoder"])
+    encoder("cls_encoder", params["cls_encoder"])
+
+    c2q = params["c2q_down_projection"]  # Sequential(LN, Drop, Linear, ReLU)
+    sd["c2q_down_projection.0.weight"] = t(c2q["ln_scale"])
+    sd["c2q_down_projection.0.bias"] = t(c2q["ln_bias"])
+    sd["c2q_down_projection.2.weight"] = t(c2q["kernel"]).T
+    sd["c2q_down_projection.2.bias"] = t(c2q["bias"])
+
+    def linear_wrapper(dst, src):  # conv = Sequential(LN, Drop, Linear)
+        sd[f"{dst}.conv.0.weight"] = t(src["ln"]["scale"])
+        sd[f"{dst}.conv.0.bias"] = t(src["ln"]["bias"])
+        sd[f"{dst}.conv.2.weight"] = t(src["fc"]["kernel"]).T
+        sd[f"{dst}.conv.2.bias"] = t(src["fc"]["bias"])
+
+    linear_wrapper("cls_projection_layers.0",
+                   params["cls_projection_layers_0"])
+    linear_wrapper("temporal_scoring_st_layers.0",
+                   params["temporal_scoring_st_layers_0"])
+    linear_wrapper("temporal_scoring_ed_layers.0",
+                   params["temporal_scoring_ed_layers_0"])
+    linear_wrapper("classifier", params["classifier"])
+
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    # the only non-copied entries are the fixed sinusoid buffers
+    assert all("position_encoding.pe" in k for k in missing), missing
+    assert not unexpected, unexpected
+    return tmodel
+
+
+def _torch_batch(np_batch):
+    import torch
+    from types import SimpleNamespace
+    b = np_batch
+    return SimpleNamespace(
+        qid=list(range(B)),
+        qas=torch.from_numpy(b["qas"].astype(np.int64)),
+        qas_mask=torch.from_numpy(b["qas_mask"]),
+        qas_bert=torch.from_numpy(b["qas_bert"]),
+        sub_bert=torch.from_numpy(b["sub_bert"]),
+        sub_mask=torch.from_numpy(b["sub_mask"]),
+        vid=torch.from_numpy(b["vid"]),
+        vid_mask=torch.from_numpy(b["vid_mask"]),
+        target=torch.from_numpy(b["target"].astype(np.int64)),
+        ts_label={"st": torch.from_numpy(b["ts_st"].astype(np.int64)),
+                  "ed": torch.from_numpy(b["ts_ed"].astype(np.int64))},
+        ts_label_mask=torch.from_numpy(b["ts_mask"]),
+        q_l=[3] * B,
+        anno_st_idx=[0] * B,
+        image_indices=[list(range(1, LI * 6, 6))] * B,
+        boxes=None,
+        att_labels=None,
+        use_hard_negatives=False,
+        vid_name=["v"] * B,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("add_local", [False, True])
+def test_forward_matches_reference_model(add_local):
+    import torch
+    import jax
+
+    fmodel, variables = _tiny_flax(add_local)
+    np_batch = _np_batch()
+    out = fmodel.apply(variables, np_batch, train=False)
+
+    tmodel = _load_reference_stage(add_local)
+    tmodel = _copy_flax_to_torch(variables["params"], tmodel)
+    tbatch = _torch_batch(np_batch)
+    with torch.no_grad():
+        t_out, t_att_loss, _, t_ts_loss, t_scores_softmax, t_other = \
+            tmodel.forward_main(tbatch)
+
+    # answer scores (B, A)
+    np.testing.assert_allclose(
+        np.array(out["answer_scores"]), t_out.numpy(), rtol=1e-4, atol=1e-4)
+    # span probabilities (softmax over Li)
+    from tvqaplus_tpu.ops.masking import safe_softmax
+    ours_soft = np.array(safe_softmax(out["t_scores"], axis=2))
+    np.testing.assert_allclose(ours_soft, t_scores_softmax.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    # raw cosine attention scores on valid cells
+    ref_raw = t_other["vid_raw_s"].numpy()
+    ours_raw = np.array(out["vid_raw_s"])
+    valid = ref_raw > -1e9
+    np.testing.assert_allclose(ours_raw[valid], ref_raw[valid],
+                               rtol=1e-4, atol=1e-4)
+    ref_sub_raw = t_other["sub_raw_s"].numpy()
+    ours_sub = np.array(out["sub_raw_s"])
+    valid = ref_sub_raw > -1e9
+    np.testing.assert_allclose(ours_sub[valid], ref_sub_raw[valid],
+                               rtol=1e-4, atol=1e-4)
+
+    # temporal loss value
+    from tvqaplus_tpu.models import losses
+    ours_ts = losses.ts_loss(
+        jax.numpy.asarray(out["t_scores"]), np_batch["ts_st"],
+        np_batch["ts_ed"], np_batch["target"], np_batch["ex_mask"])
+    np.testing.assert_allclose(float(ours_ts), float(t_ts_loss),
+                               rtol=1e-4, atol=1e-4)
