@@ -85,80 +85,15 @@ def _np_batch(seed=0):
     }
 
 
-def _copy_flax_to_torch(params, tmodel):
-    """Map the flax param tree onto the reference model's state_dict."""
+def _copy_flax_to_torch(params, tmodel, cfg):
+    """Transplant the flax tree via the interop converter
+    (tvqaplus_tpu/interop/torch_weights.py — this test validates it against
+    the real reference model)."""
     import torch
+    from tvqaplus_tpu.interop.torch_weights import flax_to_torch_state_dict
 
-    def t(x):
-        return torch.from_numpy(np.array(x))
-
-    sd = {}
-
-    def bridge(dst, src):  # Sequential(LN, Drop, Linear, ReLU, LN)
-        sd[f"{dst}.0.weight"] = t(src["ln_in"]["scale"])
-        sd[f"{dst}.0.bias"] = t(src["ln_in"]["bias"])
-        sd[f"{dst}.2.weight"] = t(src["fc"]["kernel"]).T
-        sd[f"{dst}.2.bias"] = t(src["fc"]["bias"])
-        sd[f"{dst}.4.weight"] = t(src["ln_out"]["scale"])
-        sd[f"{dst}.4.bias"] = t(src["ln_out"]["bias"])
-
-    bridge("bert_word_encoding_fc", params["bert_word_encoding_fc"])
-    bridge("vid_fc", params["vid_fc"])
-    bridge("concat_fc", params["concat_fc"])
-
-    ie = params["input_embedding"]  # Sequential(Drop, Linear, ReLU, LN)
-    sd["input_embedding.1.weight"] = t(ie["fc"]["kernel"]).T
-    sd["input_embedding.1.bias"] = t(ie["fc"]["bias"])
-    sd["input_embedding.3.weight"] = t(ie["ln_out"]["scale"])
-    sd["input_embedding.3.bias"] = t(ie["ln_out"]["bias"])
-
-    def encoder(dst, src, n_conv=2):
-        blk = src["block_0"]
-        for i in range(n_conv):
-            sd[f"{dst}.stacked_encoderBlocks.0.layer_norm.{i}.weight"] = \
-                t(blk[f"ln_{i}"]["scale"])
-            sd[f"{dst}.stacked_encoderBlocks.0.layer_norm.{i}.bias"] = \
-                t(blk[f"ln_{i}"]["bias"])
-            conv = blk[f"conv_{i}"]
-            # mine: depthwise (k, D); torch Conv1d groups=D: (D, 1, k)
-            sd[f"{dst}.stacked_encoderBlocks.0.conv.{i}"
-               f".depthwise_conv.weight"] = t(conv["depthwise"]).T.unsqueeze(1)
-            sd[f"{dst}.stacked_encoderBlocks.0.conv.{i}"
-               f".depthwise_conv.bias"] = t(conv["depthwise_bias"])
-            # mine: pointwise kernel (in, out); torch: (out, in, 1)
-            sd[f"{dst}.stacked_encoderBlocks.0.conv.{i}"
-               f".pointwise_conv.weight"] = \
-                t(conv["pointwise"]["kernel"]).T.unsqueeze(2)
-            sd[f"{dst}.stacked_encoderBlocks.0.conv.{i}"
-               f".pointwise_conv.bias"] = t(conv["pointwise"]["bias"])
-        sd[f"{dst}.stacked_encoderBlocks.0.final_layer_norm.weight"] = \
-            t(blk["final_ln"]["scale"])
-        sd[f"{dst}.stacked_encoderBlocks.0.final_layer_norm.bias"] = \
-            t(blk["final_ln"]["bias"])
-
-    encoder("input_encoder", params["input_encoder"])
-    encoder("cls_encoder", params["cls_encoder"])
-
-    c2q = params["c2q_down_projection"]  # Sequential(LN, Drop, Linear, ReLU)
-    sd["c2q_down_projection.0.weight"] = t(c2q["ln_scale"])
-    sd["c2q_down_projection.0.bias"] = t(c2q["ln_bias"])
-    sd["c2q_down_projection.2.weight"] = t(c2q["kernel"]).T
-    sd["c2q_down_projection.2.bias"] = t(c2q["bias"])
-
-    def linear_wrapper(dst, src):  # conv = Sequential(LN, Drop, Linear)
-        sd[f"{dst}.conv.0.weight"] = t(src["ln"]["scale"])
-        sd[f"{dst}.conv.0.bias"] = t(src["ln"]["bias"])
-        sd[f"{dst}.conv.2.weight"] = t(src["fc"]["kernel"]).T
-        sd[f"{dst}.conv.2.bias"] = t(src["fc"]["bias"])
-
-    linear_wrapper("cls_projection_layers.0",
-                   params["cls_projection_layers_0"])
-    linear_wrapper("temporal_scoring_st_layers.0",
-                   params["temporal_scoring_st_layers_0"])
-    linear_wrapper("temporal_scoring_ed_layers.0",
-                   params["temporal_scoring_ed_layers_0"])
-    linear_wrapper("classifier", params["classifier"])
-
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flax_to_torch_state_dict(params, cfg).items()}
     missing, unexpected = tmodel.load_state_dict(sd, strict=False)
     # the only non-copied entries are the fixed sinusoid buffers
     assert all("position_encoding.pe" in k for k in missing), missing
@@ -204,7 +139,7 @@ def test_forward_matches_reference_model(add_local):
     out = fmodel.apply(variables, np_batch, train=False)
 
     tmodel = _load_reference_stage(add_local)
-    tmodel = _copy_flax_to_torch(variables["params"], tmodel)
+    tmodel = _copy_flax_to_torch(variables["params"], tmodel, fmodel.cfg)
     tbatch = _torch_batch(np_batch)
     with torch.no_grad():
         t_out, t_att_loss, _, t_ts_loss, t_scores_softmax, t_other = \
