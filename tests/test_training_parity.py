@@ -1,0 +1,110 @@
+"""Training-dynamics parity: one full optimizer step against the reference.
+
+Runs the reference PyTorch STAGE (dropout disabled) + CE-sum loss with the
+proposal rescale + ts loss + grad-clip-10 + torch Adam(lr 1e-3, wd 3e-7) —
+exactly the reference recipe (main.py:55-67, 208-212) — and our jitted
+train step from the same transplanted weights, then compares the UPDATED
+parameters.  This pins losses, gradients, clipping and the optax Adam chain
+to the reference, not just the forward pass.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "model")),
+                                reason="reference checkout not available")
+
+from tests.test_reference_parity import (  # noqa: E402
+    _load_reference_stage, _np_batch, _copy_flax_to_torch, _torch_batch,
+    B, DE, DV, H,
+)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("add_local", [False, True])
+def test_one_optimizer_step_matches_reference(add_local):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from tvqaplus_tpu.models.stage import STAGE, ModelConfig
+    from tvqaplus_tpu.models import losses
+    from tvqaplus_tpu.train.state import create_train_state
+    from tvqaplus_tpu.interop.torch_weights import (
+        flax_to_torch_state_dict, torch_state_dict_to_flax)
+
+    cfg = ModelConfig(hsz=H, embedding_size=DE, vfeat_size=DV,
+                      add_local=add_local, dropout=0.0)
+    fmodel = STAGE(cfg)
+    np_batch = _np_batch()
+    variables = fmodel.init({"params": jax.random.PRNGKey(0)}, np_batch,
+                            train=False)
+    params = variables["params"]
+
+    # ---- our step -----------------------------------------------------
+    state, tx = create_train_state(params, lr=1e-3, weight_decay=3e-7,
+                                   clip=10.0)
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+
+    def loss_fn(p):
+        out = fmodel.apply({"params": p}, batch, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        loss, metrics = losses.total_loss(
+            out, batch, jax.random.PRNGKey(2), train=True,
+            use_sup_att=False, ts_weight=0.5)
+        return loss, metrics
+
+    (ours_loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+
+    # ---- reference step -------------------------------------------------
+    tmodel = _load_reference_stage(add_local)
+    # keep train() mode (the GT-anchored proposal branch is the parity
+    # subject) but zero every dropout RATE — the reference mixes nn.Dropout
+    # modules with functional F.dropout(p=self.dropout, training=...)
+    tmodel.train()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        if hasattr(m, "dropout") and isinstance(
+                getattr(m, "dropout"), float):
+            m.dropout = 0.0
+    tmodel = _copy_flax_to_torch(params, tmodel, cfg)
+    tbatch = _torch_batch(np_batch)
+    criterion = torch.nn.CrossEntropyLoss(reduction="sum")
+    optimizer = torch.optim.Adam(tmodel.parameters(), lr=1e-3,
+                                 weight_decay=3e-7)
+
+    outputs, att_loss, _, temporal_loss, _, _ = tmodel.forward_main(tbatch)
+    if add_local:
+        out_scores, targets = outputs if isinstance(outputs, list) else (
+            outputs, tbatch.target)
+    else:
+        out_scores, targets = outputs, tbatch.target
+    # reference training path returns [out, target] (stage.py:346)
+    if isinstance(outputs, (list, tuple)):
+        out_scores, targets = outputs
+    cls_loss = criterion(out_scores, targets) * (
+        1.0 * B / len(targets))  # main.py:59
+    ref_loss = cls_loss + 0.5 * temporal_loss
+    optimizer.zero_grad()
+    ref_loss.backward()
+
+    np.testing.assert_allclose(float(ours_loss), float(ref_loss.detach()),
+                               rtol=1e-4, atol=1e-4)
+
+    # compare raw GRADIENTS through the converter.  (Comparing post-Adam
+    # params is ill-conditioned: analytically-zero grads — e.g. the shared
+    # classifier bias under softmax CE — make the normalized first-step
+    # update pure float noise.)
+    grad_sd = {k: v.grad.detach().numpy()
+               for k, v in tmodel.named_parameters()}
+    ref_grads = torch_state_dict_to_flax(grad_sd, cfg)
+    flat_ours = jax.tree_util.tree_flatten_with_path(grads)[0]
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(ref_grads)[0])
+    for key, val in flat_ours:
+        np.testing.assert_allclose(
+            np.asarray(val), np.asarray(flat_ref[key]),
+            rtol=1e-3, atol=1e-4, err_msg=str(key))
