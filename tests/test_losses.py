@@ -184,6 +184,50 @@ def test_att_loss_hard_negatives_drop_topk():
     assert abs(float(loss) - oracle) < 1e-5
 
 
+def test_att_loss_hard_pool_windows():
+    """Pool variant (negative_pool_size > num_negatives): the first num_hard
+    repeats sample from score-ranks [drop_topk, drop_topk+pool), the rest
+    from the easy remainder (stage.py:581-603)."""
+    rng = np.random.default_rng(11)
+    b, a, li, lw, lr = 1, 5, 1, 1, 10
+    scores = np.zeros((b, a, li, lw, lr), np.float32)
+    scores[0, 0, 0, 0] = np.arange(10, 0, -1) / 10.0  # rank == region index
+    labels = np.zeros((b, li, lw, lr), np.float32)
+    defined = np.ones((b, li, lw, lr), np.float32)
+    labels[0, 0, 0, 0] = 1.0  # pos r=0 (score 1.0); negatives r=1..9
+    targets = np.array([0])
+    # num_negatives=2, num_hard=1, pool=4, drop_topk=1:
+    # pair k=0 -> hard window ranks [1, 5) of negs; k=1 -> easy ranks [5, 9)
+    # negative ranks (desc score among negs): rank j == region j+1
+    for seed in range(30):
+        loss, _ = losses.att_loss(
+            jnp.array(scores), jnp.array(labels), jnp.array(defined),
+            jnp.array(targets), jnp.ones(1, np.float32),
+            jax.random.PRNGKey(seed), num_negatives=2, loss_type="hinge",
+            margin=0.0, use_hard_negatives=True, drop_topk=1,
+            negative_pool_size=4, num_hard=1)
+        # loss = (neg_hard - 1.0) + (neg_easy - 1.0) clamped at 0 -> 0 since
+        # all neg scores < pos; use margin 2 to read the scores instead
+        loss2, _ = losses.att_loss(
+            jnp.array(scores), jnp.array(labels), jnp.array(defined),
+            jnp.array(targets), jnp.ones(1, np.float32),
+            jax.random.PRNGKey(seed), num_negatives=2, loss_type="hinge",
+            margin=2.0, use_hard_negatives=True, drop_topk=1,
+            negative_pool_size=4, num_hard=1)
+        # total = 2*margin + (s_hard - 1) + (s_easy - 1) = 2 + s_hard + s_easy
+        total = float(loss2) - 2.0
+        # hard window scores: regions 2..5 -> 0.9..0.6? region j has score
+        # (10-j)/10; neg ranks 1..4 (after drop_topk=1) = regions 2..5
+        s_hard_possible = {round((10 - j) / 10.0, 4) for j in range(2, 6)}
+        s_easy_possible = {round((10 - j) / 10.0, 4) for j in range(6, 10)}
+        found = False
+        for sh in s_hard_possible:
+            se = round(total - sh, 4)
+            if se in s_easy_possible:
+                found = True
+        assert found, f"seed {seed}: windows violated, total={total}"
+
+
 def test_att_loss_no_positives_is_zero():
     rng = np.random.default_rng(8)
     scores, labels, defined = _att_inputs(rng)

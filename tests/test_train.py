@@ -204,3 +204,21 @@ class TestEndToEnd:
                 trainer.state, batch, trainer.rng, use_hard_negatives=False)
             results.append(float(metrics["loss"]))
         assert abs(results[0] - results[1]) / abs(results[0]) < 1e-4
+
+    def test_cp_matches_single_device(self, tmp_path):
+        """Context parallelism over Li must not change the loss (per-frame
+        attention is communication-free; only Li softmax/max reduce)."""
+        cfg = small_cfg(tmp_path, bsz=4, max_num_img=8, img_buckets=[8],
+                        use_sup_att=True, add_local=True)
+        ds = SyntheticTVQADataset(cfg, 4, mode="train")
+        results = []
+        for mesh_shape in ((1, 1), (1, 4)):
+            ndev = mesh_shape[0] * mesh_shape[1]
+            mesh = make_mesh(mesh_shape, devices=jax.devices()[:ndev])
+            trainer = Trainer(cfg, mesh=mesh)
+            pipe = trainer._pipeline(ds, shuffle=False, batch_size=4)
+            batch, _, _ = next(iter(pipe))
+            _, metrics = trainer._train_step(
+                trainer.state, batch, trainer.rng, use_hard_negatives=False)
+            results.append(float(metrics["loss"]))
+        assert abs(results[0] - results[1]) / abs(results[0]) < 1e-4
