@@ -1,0 +1,83 @@
+"""Attention-ranking-loss parity against the reference's python-loop
+implementation (stage.py:613-746), on the deterministic hard-negative path
+(top negatives by score — no sampling randomness)."""
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "model")),
+                                reason="reference checkout not available")
+
+from tests.test_reference_parity import _load_reference_stage  # noqa: E402
+
+
+@pytest.mark.parametrize("loss_type,drop_topk",
+                         [("lse", 0), ("hinge", 0), ("lse", 1)])
+def test_att_loss_matches_reference_hard_negatives(loss_type, drop_topk):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from tvqaplus_tpu.data.labels import densify_att_labels
+    from tvqaplus_tpu.models.losses import att_loss
+
+    rng = np.random.default_rng(0)
+    B, A, LI, LQA, LR = 3, 5, 6, 8, 7
+    scores = rng.uniform(-1, 1, (B, A, LI, LQA, LR)).astype(np.float32)
+    targets = rng.integers(0, A, B)
+
+    ragged, dense_l, dense_d, starts = [], [], [], []
+    for b in range(B):
+        # start_idx MUST be 0 here: the reference's hard-negative branch
+        # slices pred_score to the annotated image count but then indexes it
+        # with absolute (start_idx+i) frame indices (stage.py:644-647,579) —
+        # out-of-bounds / wrong-frame scores whenever start_idx > 0.  (The
+        # bug is dormant in the reference: hard negatives only activate
+        # after epoch 100 by default.  Our vectorized loss indexes the
+        # correct frames.)
+        start = 0
+        n_img = int(rng.integers(1, LI - start))
+        n_words = int(rng.integers(2, LQA))
+        per_img = []
+        for i in range(n_img):
+            # the reference crashes when a (img, word) group has fewer
+            # negatives than drop_topk + n_pos*num_negatives (its
+            # neg-index slice comes up short, stage.py:606/694) — keep the
+            # fuzz in its viable regime: <=1 positive per word row, >=5
+            # regions.  (Our vectorized loss handles the degenerate case
+            # gracefully via pair masking instead.)
+            cnt = int(rng.integers(5, LR + 1))
+            lab = np.zeros((n_words, cnt), np.float32)
+            for w in range(n_words):
+                if rng.random() < 0.4:
+                    lab[w, rng.integers(0, cnt)] = 1.0
+            per_img.append(lab)
+        ragged.append(per_img)
+        starts.append(start)
+        dl, dd = densify_att_labels(per_img, start, LI, LQA, LR)
+        dense_l.append(dl)
+        dense_d.append(dd)
+
+    # ---- reference --------------------------------------------------------
+    tmodel = _load_reference_stage(add_local=False)
+    tmodel.train()
+    tmodel.att_loss_type = loss_type
+    ref_loss, _ = tmodel.get_att_loss(
+        torch.from_numpy(scores),
+        [[torch.from_numpy(a) for a in ex] for ex in ragged],
+        torch.from_numpy(targets.astype(np.int64)),
+        words=None, vid_names=None, qids=None, q_lens=None,
+        img_indices=None, boxes=None, start_indices=starts,
+        num_negatives=2, use_hard_negatives=True, drop_topk=drop_topk)
+
+    # ---- ours --------------------------------------------------------------
+    ours, aux = att_loss(
+        jnp.asarray(scores), jnp.asarray(np.stack(dense_l)),
+        jnp.asarray(np.stack(dense_d)), jnp.asarray(targets),
+        jnp.ones(B, np.float32), jax.random.PRNGKey(0),
+        num_negatives=2, loss_type=loss_type, margin=0.1, alpha=20.0,
+        use_hard_negatives=True, drop_topk=drop_topk, entry_cap=64)
+
+    np.testing.assert_allclose(float(ours), float(ref_loss), rtol=1e-4,
+                               atol=1e-5)
