@@ -56,6 +56,23 @@ def test_grouped_pipeline_flushes_leftovers(tmp_path):
     assert shapes.count((4,)) == 1
 
 
+def test_auto_steps_per_dispatch(tmp_path):
+    from tvqaplus_tpu.train.loop import auto_steps_per_dispatch
+    cfg = small_cfg(tmp_path)
+    k = auto_steps_per_dispatch(cfg)
+    assert 1 <= k <= 16
+    # tiny test shapes -> tiny batch -> K hits the cap
+    assert k == 16
+    # a huge synthetic batch forces K down to 1
+    k_small = auto_steps_per_dispatch(cfg, hbm_budget_bytes=1)
+    assert k_small == 1
+    # cfg.steps_per_dispatch == 0 engages auto sizing in the Trainer
+    cfg2 = small_cfg(tmp_path, steps_per_dispatch=0)
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    trainer = Trainer(cfg2, mesh=mesh)
+    assert trainer.steps_per_dispatch == 16
+
+
 def test_train_epoch_with_steps_per_dispatch(tmp_path):
     cfg = small_cfg(tmp_path, steps_per_dispatch=2, log_freq=10000)
     mesh = make_mesh((1, 1), devices=jax.devices()[:1])

@@ -137,7 +137,8 @@ class Config:
     synthetic_n_valid: int = 128
     prefetch_depth: int = 2
     steps_per_dispatch: int = 1         # K>1: lax.scan K optimizer steps per
-                                        # host dispatch (amortizes latency)
+                                        # host dispatch (amortizes latency);
+                                        # 0 = auto-size K to fit HBM
     profile_dir: str = ""               # if set, dump a jax.profiler trace
     compilation_cache_dir: str = "~/.cache/tvqaplus_tpu_xla"  # "" disables
 

@@ -37,6 +37,17 @@ from tvqaplus_tpu.train.state import (
 from tvqaplus_tpu.utils.misc import AverageMeter, count_parameters
 
 
+def auto_steps_per_dispatch(cfg, hbm_budget_bytes=6 * 2 ** 30, max_k=16):
+    """Pick K for the multi-step dispatch so the K-stacked batch fits a
+    conservative HBM budget (the batch is the dominant resident tensor; a
+    Li=100 f32 batch is ~2.4 GB — docs/BENCH.md)."""
+    from tvqaplus_tpu.data.batching import StaticShapeSpec, zeros_batch
+    spec = StaticShapeSpec.from_config(cfg, batch=cfg.bsz,
+                                       max_img=cfg.max_num_img)
+    batch_bytes = sum(a.nbytes for a in zeros_batch(spec).values())
+    return max(1, min(max_k, int(hbm_budget_bytes // max(batch_bytes, 1))))
+
+
 def enable_compilation_cache(cache_dir):
     """Persistent XLA compilation cache — one compile per (program, shape)
     across process restarts (TPU compiles are expensive)."""
@@ -55,6 +66,9 @@ class Trainer:
     def __init__(self, cfg, mesh=None, logger=None):
         self.cfg = cfg
         enable_compilation_cache(getattr(cfg, "compilation_cache_dir", ""))
+        self.steps_per_dispatch = cfg.steps_per_dispatch
+        if self.steps_per_dispatch == 0:
+            self.steps_per_dispatch = auto_steps_per_dispatch(cfg)
         self.mesh = mesh if mesh is not None else make_mesh(
             tuple(cfg.mesh_shape))
         self.model_cfg = ModelConfig.from_config(cfg)
@@ -213,7 +227,7 @@ class Trainer:
             "pass separate train/valid dataset objects")
         dataset.set_mode("train")
         pipeline = self._pipeline(dataset, shuffle=True, batch_size=cfg.bsz,
-                                  group=cfg.steps_per_dispatch)
+                                  group=self.steps_per_dispatch)
         # the background pipeline folds the reference's separate
         # dataloading/prepare_inputs phases into one staged phase
         meters = {k: AverageMeter() for k in
