@@ -26,8 +26,12 @@ from tvqaplus_tpu.parallel.mesh import shard_batch
 class DataPipeline:
     """Iterable over (device_batch, meta, bucket) tuples."""
 
+    # large float inputs that may be cast to bf16 on host before upload
+    _BF16_KEYS = ("qas_bert", "sub_bert", "vid")
+
     def __init__(self, dataset, cfg, mesh=None, batch_size=16, shuffle=False,
-                 seed=0, drop_last=False, prefetch_depth=2, group=1):
+                 seed=0, drop_last=False, prefetch_depth=2, group=1,
+                 exclude_keys=()):
         self.dataset = dataset
         self.cfg = cfg
         self.mesh = mesh
@@ -37,6 +41,11 @@ class DataPipeline:
         self.drop_last = drop_last
         self.prefetch_depth = max(1, prefetch_depth)
         self.group = max(1, group)  # stack K same-bucket batches per yield
+        self.exclude_keys = set(exclude_keys)  # e.g. att labels at inference
+        # under the bf16 compute policy, quantize the big feature uploads on
+        # host: halves host->device bandwidth, numerically identical to the
+        # on-device bf16 cast the matmuls apply anyway
+        self.cast_bf16 = cfg.compute_dtype == "bfloat16"
         self.base_spec = StaticShapeSpec.from_config(cfg, batch=batch_size)
         self.buckets = sorted(set(
             min(b, cfg.max_num_img) for b in cfg.img_buckets))
@@ -62,6 +71,13 @@ class DataPipeline:
             bucket = pick_bucket(n_img, self.buckets, self.cfg.max_num_img)
             spec = self.base_spec.with_max_img(bucket)
             arrays, meta = collate_static(examples, spec)
+            for k in self.exclude_keys:
+                arrays.pop(k, None)
+            if self.cast_bf16:
+                import ml_dtypes
+                for k in self._BF16_KEYS:
+                    if k in arrays:
+                        arrays[k] = arrays[k].astype(ml_dtypes.bfloat16)
             yield arrays, meta, bucket
 
     def _grouped_batches(self):

@@ -100,29 +100,35 @@ class InferenceRunner:
         self.params = params
         self.mesh = mesh
 
-        def infer_step(params, batch):
+        def infer_step(params, batch, with_grounding):
             out = model.apply({"params": params}, batch, train=False)
             pred_ids = jnp.argmax(out["answer_scores"], axis=-1)   # (B,)
             t_probs = safe_softmax(out["t_scores"], axis=2)        # (B,A,Li,2)
             st, ed, val = spans.find_max_pair(t_probs[..., 0],
                                               t_probs[..., 1])    # (B, A)
-            result = {"pred_ids": pred_ids, "span_st": st, "span_ed": ed,
-                      "t_probs": t_probs}
-            if "vid_raw_s" in out:
+            result = {"pred_ids": pred_ids, "span_st": st, "span_ed": ed}
+            # the raw score tensor is large (B,A,Li,Lqa,Lr); only ship it to
+            # the host when grounding records are actually requested
+            if with_grounding and "vid_raw_s" in out:
                 result["vid_raw_s"] = out["vid_raw_s"]
             return result
 
-        self._infer_step = jax.jit(infer_step)
+        self._infer_step = jax.jit(infer_step,
+                                   static_argnames=("with_grounding",))
 
     def run(self, dataset, mode="valid", object_word_ids=(), debug=False):
         from tvqaplus_tpu.data.pipeline import DataPipeline
         dataset.set_mode(mode)
         pipeline = DataPipeline(dataset, self.cfg, mesh=self.mesh,
                                 batch_size=self.cfg.test_bsz, shuffle=False,
-                                prefetch_depth=self.cfg.prefetch_depth)
+                                prefetch_depth=self.cfg.prefetch_depth,
+                                # training-only tensors: skip the upload
+                                exclude_keys=("att_labels", "att_defined"))
         predictions = {"ts_answer": {}, "raw_bbox": []}
+        with_grounding = bool(object_word_ids) and self.cfg.vfeat_flag
         for batch_idx, (batch, meta, _) in enumerate(pipeline):
-            out = self._infer_step(self.params, batch)
+            out = self._infer_step(self.params, batch,
+                                   with_grounding=with_grounding)
             out = jax.device_get(out)
             ex_mask = np.asarray(jax.device_get(batch["ex_mask"]))
             n = int(ex_mask.sum())

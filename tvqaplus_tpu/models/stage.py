@@ -217,8 +217,10 @@ class STAGE(nn.Module):
         # every encoder works on (..., L, D) with leading batch dims intact,
         # so data-parallel (B) and context-parallel (Li) shardings survive
         # the whole forward without GSPMD reshuffles.
+        # inputs may arrive bf16 (bandwidth-optimized upload); layer norms
+        # and normalization stats run in f32 regardless of compute dtype
         a_embed = self.base_encoder(
-            batch["qas_bert"], batch["qas_mask"],
+            batch["qas_bert"].astype(jnp.float32), batch["qas_mask"],
             self.bert_word_encoding_fc, train=train)
         a_embed = a_embed[:, :, None]                   # (B, A, 1, Lqa, h)
         a_mask = batch["qas_mask"][:, :, None]          # (B, A, 1, Lqa)
@@ -227,7 +229,7 @@ class STAGE(nn.Module):
         attended_sub_mask = attended_vid_mask = None
         if c.sub_flag:
             sub_embed = self.base_encoder(
-                batch["sub_bert"], batch["sub_mask"],
+                batch["sub_bert"].astype(jnp.float32), batch["sub_mask"],
                 self.bert_word_encoding_fc, train=train)
             sub_embed = sub_embed[:, None]              # (B, 1, Li, Ls, h)
             sub_mask = batch["sub_mask"][:, None]
@@ -237,7 +239,8 @@ class STAGE(nn.Module):
             out["sub_raw_s"], out["sub_normalized_s"] = sub_raw_s, sub_norm_s
 
         if c.vfeat_flag:
-            vid_embed = l2_normalize(batch["vid"])      # (stage.py:256)
+            vid_embed = l2_normalize(
+                batch["vid"].astype(jnp.float32))       # (stage.py:256)
             vid_embed = self.base_encoder(
                 vid_embed, batch["vid_mask"], self.vid_fc, train=train)
             vid_embed = vid_embed[:, None]              # (B, 1, Li, Lr, h)
