@@ -50,8 +50,10 @@ def auto_steps_per_dispatch(cfg, hbm_budget_bytes=6 * 2 ** 30, max_k=16):
 
 def enable_compilation_cache(cache_dir):
     """Persistent XLA compilation cache — one compile per (program, shape)
-    across process restarts (TPU compiles are expensive)."""
-    if not cache_dir:
+    across process restarts (TPU compiles are expensive).  TPU-only: CPU AOT
+    artifacts are machine-feature-specific and can SIGILL when a cache is
+    reused on a different host."""
+    if not cache_dir or jax.default_backend() != "tpu":
         return
     path = os.path.expanduser(cache_dir)
     os.makedirs(path, exist_ok=True)
