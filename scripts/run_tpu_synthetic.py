@@ -24,10 +24,12 @@ from tvqaplus_tpu.train.loop import Trainer
 def main():
     n_train = int(os.environ.get("N_TRAIN", 1024))
     n_epoch = int(os.environ.get("N_EPOCH", 3))
+    k = int(os.environ.get("STEPS_PER_DISPATCH", 4))
     cfg = Config(bsz=16, test_bsz=16, use_sup_att=True, add_local=True,
                  synthetic_data=True, synthetic_n_train=n_train,
                  synthetic_n_valid=256, n_epoch=n_epoch, log_freq=32,
                  img_buckets=[50], compute_dtype="bfloat16",
+                 steps_per_dispatch=k,
                  results_dir_base="results/tpu_synth")
     cfg.finalize(save=True)
     mesh = make_mesh((1, 1))

@@ -190,6 +190,20 @@ class TestTVQAPlusDataset:
         ds = TVQAPlusDataset(make_cfg(artifacts), mode="train")
         assert ds.vocab.get("laptop") in ds.eval_object_word_ids
 
+    def test_double_frame_rate_stretch(self, artifacts):
+        """frame_interval 3 (1 fps stretch config) doubles the sampled grid
+        density; ids stay phase-locked to the first annotation."""
+        ds6 = TVQAPlusDataset(make_cfg(artifacts), mode="train")
+        cfg3 = make_cfg(artifacts, frame_interval=3, max_num_img=100)
+        ds3 = TVQAPlusDataset(cfg3, mode="train")
+        ex6, ex3 = ds6[0], ds3[0]
+        assert all(b - a == 3 for a, b in zip(ex3["image_indices"],
+                                              ex3["image_indices"][1:]))
+        assert len(ex3["image_indices"]) >= 2 * len(ex6["image_indices"]) - 2
+        assert 3 in ex3["image_indices"]  # first annotated img on the grid
+        st, ed = ex3["ts_label"]
+        assert 0 <= st <= ed < len(ex3["image_indices"])
+
     def test_view_shares_artifacts_independent_mode(self, artifacts):
         ds = TVQAPlusDataset(make_cfg(artifacts), mode="train")
         valid = ds.view("valid")

@@ -98,17 +98,26 @@ def densify_att_labels(att_label_list, anno_st_idx, num_img, num_words,
     """Ragged per-image label arrays -> dense (num_img, num_words,
     num_region) array + defined-mask.
 
+    ``anno_st_idx``: either the grid position of the first annotated image
+    (annotations then occupy consecutive grid positions — the reference's
+    0.5 fps assumption, stage.py:644) or an explicit list of grid positions
+    (needed at other frame rates, where annotated frames are not adjacent on
+    the grid).
+
     The mask marks (img, word, region) cells where a label is defined (the
     image is annotated and the region exists); within the mask, value > 0 is
     a positive and value == 0 a sampleable negative — exactly the
     pos/neg-index split of the reference loss (stage.py:652-665).
     """
+    if isinstance(anno_st_idx, (list, tuple, np.ndarray)):
+        positions = list(anno_st_idx)
+    else:
+        positions = [anno_st_idx + i for i in range(len(att_label_list))]
     labels = np.zeros((num_img, num_words, num_region), dtype=np.float32)
     defined = np.zeros((num_img, num_words, num_region), dtype=np.float32)
-    for local_idx, arr in enumerate(att_label_list):
-        img_idx = anno_st_idx + local_idx
+    for arr, img_idx in zip(att_label_list, positions):
         if img_idx >= num_img:
-            break
+            continue
         w = min(arr.shape[0], num_words)
         r = min(arr.shape[1], num_region)
         labels[img_idx, :w, :r] = arr[:w, :r]

@@ -215,12 +215,22 @@ class TVQAPlusDataset:
             iou_data = build_iou_data(entry["bbox"],
                                       self.vcpt_dict[vid_name]["boxes"],
                                       frm_cnt)
-            att = make_att_label(iou_data, q_ca, localized_counts,
+            # region counts + grid positions of the ANNOTATED images.  At
+            # the default 0.5 fps these are consecutive grid points starting
+            # at start_idx (the reference's assumption); at other frame
+            # rates the annotated frames interleave with unannotated ones.
+            anno_ids = sorted(iou_data.keys(), key=int)
+            region_counts = self.vcpt_dict[vid_name]["counts"]
+            att_cnts = [min(region_counts[int(k) - 1], self.num_region)
+                        for k in anno_ids]
+            positions = [indices.index(int(k)) if int(k) in indices
+                         else len(indices) for k in anno_ids]
+            att = make_att_label(iou_data, q_ca, att_cnts,
                                  entry["q_len"] + ca_l + 1,
                                  iou_thd=self.att_iou_thd,
                                  single_box=self.inference)
             items["att_labels_dense"] = densify_att_labels(
-                att, start_idx, min(len(indices0), cfg.max_num_img),
+                att, positions, min(len(indices0), cfg.max_num_img),
                 cfg.max_qa_l, self.num_region)
         else:
             items["att_labels_dense"] = None
