@@ -30,7 +30,7 @@ BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
 STEPS = 50
 WARMUP = 3
-TRIALS = 3  # best-of-N: the 1-vCPU host adds noisy dispatch latency
+TRIALS = 5  # best-of-N: the 1-vCPU host adds noisy dispatch latency
 
 
 def load_torch_baseline():
