@@ -25,6 +25,9 @@ EXTRA_FLAGS = (
                          help="results dir of the training run")),
     ("--mode", dict(type=str, default="valid", help="valid/test")),
     ("--no_strict", dict(action="store_true")),
+    ("--torch_checkpoint", dict(type=str, default="",
+                                help="load a reference best_valid.pth "
+                                     "instead of a flax checkpoint")),
 )
 
 
@@ -38,8 +41,15 @@ def main_inference(argv=None):
 
     mesh = make_mesh(tuple(cfg.mesh_shape))
     trainer = Trainer(cfg, mesh=mesh)  # builds model + state template
-    ckpt = os.path.join(run_dir, "best_valid.ckpt")
-    state, _ = load_checkpoint(ckpt, trainer.state)
+    if getattr(extras, "torch_checkpoint", ""):
+        # run a reference-trained model directly (torch state_dict format)
+        from tvqaplus_tpu.interop.torch_weights import \
+            load_reference_checkpoint
+        params = load_reference_checkpoint(extras.torch_checkpoint, cfg)
+        state = trainer.state.replace(params=params)
+    else:
+        ckpt = os.path.join(run_dir, "best_valid.ckpt")
+        state, _ = load_checkpoint(ckpt, trainer.state)
 
     mode = extras.mode
     if cfg.synthetic_data or not cfg.train_path:

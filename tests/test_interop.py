@@ -47,6 +47,24 @@ def test_restored_params_same_forward():
                                np.array(out2["answer_scores"]), rtol=1e-6)
 
 
+def test_load_reference_checkpoint_pth(tmp_path):
+    """A torch-saved best_valid.pth round-trips into a working param tree."""
+    import torch
+    from tvqaplus_tpu.interop.torch_weights import load_reference_checkpoint
+    cfg = tiny_cfg(add_local=True)
+    model, params = _params(cfg)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flax_to_torch_state_dict(params, cfg).items()}
+    pth = str(tmp_path / "best_valid.pth")
+    torch.save(sd, pth)
+    restored = load_reference_checkpoint(pth, cfg)
+    batch = tiny_batch()
+    out1 = model.apply({"params": params}, batch, train=False)
+    out2 = model.apply({"params": restored}, batch, train=False)
+    np.testing.assert_allclose(np.array(out1["answer_scores"]),
+                               np.array(out2["answer_scores"]), rtol=1e-6)
+
+
 def test_state_dict_loads_into_reference_model():
     """The exported dict must load strict (minus fixed posenc buffers) into
     the actual reference model."""
