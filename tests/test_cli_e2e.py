@@ -20,6 +20,18 @@ SMALL_FLAGS = [
 
 
 @pytest.mark.slow
+def test_train_cli_multidevice_mesh(tmp_path, monkeypatch):
+    """main.py over a 2x2 (data, ctx) mesh with multi-step dispatch — the
+    full CLI path on 4 virtual devices."""
+    monkeypatch.chdir(tmp_path)
+    results_dir, _ = train_main.main(
+        SMALL_FLAGS + ["--results_dir_base", str(tmp_path / "results/mesh"),
+                       "--mesh_shape", "2", "2", "--max_num_img", "8",
+                       "--img_buckets", "8", "--steps_per_dispatch", "2"])
+    assert os.path.exists(os.path.join(results_dir, "best_valid.ckpt"))
+
+
+@pytest.mark.slow
 def test_train_then_inference_pipeline(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     results_base = str(tmp_path / "results" / "run")
