@@ -9,10 +9,16 @@ Prints ONE JSON line:
   {"metric": "qa_pairs_per_sec_per_chip", "value": N, "unit": "qa/s",
    "vs_baseline": N / torch_cpu_baseline}
 
+Timing methodology (round-2 fix): every timed region ends with a HOST FETCH
+of the last step's loss — ``jax.block_until_ready`` returns before execution
+completes on the axon platform, so it must never terminate a timed region.
+The final loss data-depends on the whole step chain (state threads through
+every step), so fetching it forces the full pipeline.  A FLOPs/MFU
+self-check refuses to report a number that implies more than chip peak.
+
 vs_baseline compares against a measured PyTorch-CPU training step at the
 same shapes on this host (scripts/torch_baseline.py, cached in
-bench_baseline.json; the cached measurement is favorable to torch — see that
-file's docstring).  The reference's own target is >=10x PyTorch-CPU
+bench_baseline.json).  The reference's own target is >=10x PyTorch-CPU
 (BASELINE.json).
 """
 from __future__ import annotations
@@ -28,9 +34,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
-STEPS = 50
-WARMUP = 3
-TRIALS = 5  # best-of-N: the 1-vCPU host adds noisy dispatch latency
+STEPS = int(os.environ.get("BENCH_STEPS", "20"))     # dispatches per trial
+WARMUP = 2
+TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))    # best-of-N (noisy host)
+# bf16 peak of one v5e chip; override for other parts (v5p ~459e12)
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
 
 
 def load_torch_baseline():
@@ -40,12 +48,19 @@ def load_torch_baseline():
     return None
 
 
+def host_sync(metrics):
+    """End-of-region sync: host fetch of the last step's loss (depends on
+    the full step chain).  See module docstring."""
+    return float(np.asarray(jax.device_get(metrics["loss"])).ravel()[-1])
+
+
 def main():
     from tvqaplus_tpu.config import Config
     from tvqaplus_tpu.data.batching import StaticShapeSpec, collate_static
     from tvqaplus_tpu.data.synthetic import SyntheticTVQADataset
-    from tvqaplus_tpu.parallel.mesh import make_mesh
+    from tvqaplus_tpu.parallel.mesh import make_mesh, shard_batch
     from tvqaplus_tpu.train.loop import Trainer
+    from tvqaplus_tpu.utils.timing import compiled_flops
 
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
@@ -62,28 +77,44 @@ def main():
     ds = SyntheticTVQADataset(cfg, cfg.bsz, mode="train")
     spec = StaticShapeSpec.from_config(cfg, batch=cfg.bsz, max_img=50)
     arrays, _ = collate_static([ds[i] for i in range(cfg.bsz)], spec)
-    from tvqaplus_tpu.parallel.mesh import shard_batch
     # production multi-step dispatch: K optimizer steps per host round trip
     # (lax.scan, see train/loop.py; exact-equivalence tested)
     k = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "10"))
     stacked = {key: np.stack([v] * k) for key, v in arrays.items()}
     batch = shard_batch(mesh, stacked, stacked=True)
 
+    # FLOPs of one dispatch (k steps) from XLA's compiled cost analysis
+    dispatch_flops = compiled_flops(
+        trainer._train_step_scan, trainer.state, batch, trainer.rng,
+        use_hard_negatives=False)
+
     # compile + warmup
     for _ in range(WARMUP):
         trainer.state, metrics = trainer._train_step_scan(
             trainer.state, batch, trainer.rng, use_hard_negatives=False)
-    jax.block_until_ready(metrics["loss"])
+    host_sync(metrics)
 
     dt = float("inf")
     for _ in range(TRIALS):
-        t0 = time.time()
+        t0 = time.perf_counter()
         for _ in range(STEPS):
             trainer.state, metrics = trainer._train_step_scan(
                 trainer.state, batch, trainer.rng, use_hard_negatives=False)
-        jax.block_until_ready(metrics["loss"])
-        dt = min(dt, time.time() - t0)
-    qps = cfg.bsz * k * STEPS / dt
+        host_sync(metrics)  # forces the whole trial's chain
+        dt = min(dt, time.perf_counter() - t0)
+    step_s = dt / (STEPS * k)
+    qps = cfg.bsz / step_s
+
+    flops_per_step = dispatch_flops / k if dispatch_flops else None
+    tflops = mfu = None
+    if flops_per_step:
+        tflops = flops_per_step / step_s / 1e12
+        mfu = flops_per_step / step_s / PEAK_FLOPS
+        if tflops * 1e12 > PEAK_FLOPS:
+            raise RuntimeError(
+                f"implausible measurement: {tflops:.1f} TFLOPS sustained > "
+                f"chip peak {PEAK_FLOPS/1e12:.0f} TFLOPS — timing is not "
+                f"synchronizing (see utils/timing.py)")
 
     baseline = load_torch_baseline()
     vs = qps / baseline if baseline else None
@@ -95,9 +126,14 @@ def main():
     }
     print(json.dumps(result))
     # secondary detail to stderr (not part of the contract line)
-    print(f"# step_ms={1000*dt/(STEPS*k):.3f} steps_per_dispatch={k} "
-          f"dtype={compute_dtype} pallas={use_pallas} devices={n_dev} "
-          f"torch_cpu_baseline={baseline}", file=sys.stderr)
+    detail = (f"# step_ms={1000*step_s:.3f} steps_per_dispatch={k} "
+              f"dtype={compute_dtype} pallas={use_pallas} devices={n_dev} "
+              f"torch_cpu_baseline={baseline}")
+    if flops_per_step:
+        detail += (f" gflops_per_step={flops_per_step/1e9:.1f} "
+                   f"sustained_tflops={tflops:.2f} "
+                   f"mfu={100*mfu:.2f}% (peak={PEAK_FLOPS/1e12:.0f}T)")
+    print(detail, file=sys.stderr)
     return result
 
 

@@ -23,12 +23,11 @@ def build(use_pallas, dtype="bfloat16"):
     fwd = jax.jit(lambda p, b: model.apply({"params": p}, b, train=False)["answer_scores"])
     return variables["params"], batch, fwd
 
+from tvqaplus_tpu.utils.timing import timeit_host_synced
+
 def timeit(fn, *a, n=50):
-    r = fn(*a); jax.block_until_ready(r)
-    t0 = time.time()
-    for _ in range(n): r = fn(*a)
-    jax.block_until_ready(r)
-    return (time.time()-t0)/n*1000
+    # host-fetch sync: block_until_ready is a no-op on axon (utils/timing.py)
+    return timeit_host_synced(lambda: fn(*a), n=n, warmup=2, trials=3)
 
 for use_pallas in (False, True):
     p, b, fwd = build(use_pallas)

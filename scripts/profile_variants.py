@@ -20,12 +20,11 @@ def build(**kw):
     arrays, _ = collate_static([ds[i] for i in range(cfg.bsz)], spec)
     return tr, shard_batch(mesh, arrays)
 
+from tvqaplus_tpu.utils.timing import timeit_host_synced
+
 def timeit(fn, n=30):
-    r = fn(); jax.block_until_ready(r)
-    t0=time.time()
-    for _ in range(n): r = fn()
-    jax.block_until_ready(r)
-    return (time.time()-t0)/n*1000
+    # host-fetch sync: block_until_ready is a no-op on axon (utils/timing.py)
+    return timeit_host_synced(fn, n=n, warmup=2, trials=3)
 
 import sys
 variant = sys.argv[1]

@@ -248,8 +248,10 @@ class Trainer:
             meters["dataloading"].update(time.time() - timer)
             t0 = time.time()
             metrics = self._dispatch_train(batch, use_hard_negatives)
-            if cfg.debug:  # per-step timing only in debug (forces a sync)
-                jax.block_until_ready(metrics["loss"])
+            if cfg.debug:  # per-step timing only in debug (forces a sync);
+                # host fetch, not block_until_ready (no-op on axon —
+                # utils/timing.py)
+                jax.device_get(metrics["loss"])
             meters["forward_backward"].update(time.time() - t0)
 
             # keep device arrays; only materialize at log points (no
