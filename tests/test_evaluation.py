@@ -47,6 +47,63 @@ def test_boxes_resize_and_area():
     np.testing.assert_allclose(r.bbox[0], [0, 0, 18, 18])
 
 
+def test_boxes_transpose_flips():
+    from tvqaplus_tpu.evaluation.boxes import FLIP_LEFT_RIGHT, FLIP_TOP_BOTTOM
+    b = Boxes([[10, 20, 29, 49]], (640, 360), mode="xyxy")
+    b.add_field("labels", [3])
+    lr = b.transpose(FLIP_LEFT_RIGHT)
+    np.testing.assert_allclose(lr.bbox[0], [640 - 29 - 1, 20,
+                                            640 - 10 - 1, 49])
+    tb = b.transpose(FLIP_TOP_BOTTOM)
+    np.testing.assert_allclose(tb.bbox[0], [10, 360 - 49, 29, 360 - 20])
+    assert lr.get_field("labels")[0] == 3
+    # involution: flipping twice is identity (up to the +1 convention)
+    np.testing.assert_allclose(lr.transpose(FLIP_LEFT_RIGHT).bbox, b.bbox)
+    with pytest.raises(NotImplementedError):
+        b.transpose(2)  # rotations unsupported, like the reference
+    # mode is preserved through the flip
+    xywh = b.convert("xywh").transpose(FLIP_LEFT_RIGHT)
+    assert xywh.mode == "xywh"
+    np.testing.assert_allclose(xywh.convert("xyxy").bbox, lr.bbox)
+
+
+def test_boxes_crop_window():
+    b = Boxes([[10, 20, 29, 49], [100, 200, 129, 249]], (640, 360))
+    b.add_field("labels", [1, 2])
+    c = b.crop((5, 15, 50, 60))  # 45x45 window
+    assert c.size == (45, 45)
+    np.testing.assert_allclose(c.bbox[0], [5, 5, 24, 34])
+    np.testing.assert_allclose(c.bbox[1], [45, 45, 45, 45])  # clamped out
+    assert list(c.get_field("labels")) == [1, 2]
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/eval/maskrcnn_voc"),
+                    reason="reference checkout not available")
+def test_boxes_transpose_crop_parity_vs_reference():
+    """transpose/crop match the reference BoxList bit-for-bit
+    (bounding_box.py:150-229) on random boxes in both modes."""
+    import sys
+    sys.path.insert(0, "/root/reference/eval/maskrcnn_voc")
+    from bounding_box import BoxList, FLIP_LEFT_RIGHT, FLIP_TOP_BOTTOM
+    from tvqaplus_tpu.evaluation import boxes as ours
+    rng = np.random.default_rng(0)
+    for mode in ("xyxy", "xywh"):
+        raw = np.sort(rng.uniform(0, 300, size=(8, 4)), axis=1)
+        if mode == "xywh":
+            raw[:, 2:] = rng.uniform(1, 50, size=(8, 2))
+        ref = BoxList(raw.copy(), (640, 360), mode=mode)
+        got = ours.Boxes(raw.copy(), (640, 360), mode=mode)
+        for method in (FLIP_LEFT_RIGHT, FLIP_TOP_BOTTOM):
+            np.testing.assert_allclose(got.transpose(method).bbox,
+                                       ref.transpose(method).bbox,
+                                       rtol=1e-6, atol=1e-4)
+        window = (20, 30, 200, 150)
+        np.testing.assert_allclose(got.crop(window).bbox,
+                                   ref.crop(window).bbox,
+                                   rtol=1e-6, atol=1e-4)
+        assert got.crop(window).size == tuple(ref.crop(window).size)
+
+
 def test_voc_eval_perfect_predictions():
     gt = [{"boxes": np.array([[0, 0, 10, 10], [50, 50, 60, 60]]),
            "labels": np.array([1, 2]),

@@ -80,3 +80,58 @@ def test_train_epoch_with_steps_per_dispatch(tmp_path):
     ds = SyntheticTVQADataset(cfg, 16, mode="train")
     acc = trainer.train_epoch(ds, epoch=0, valid_dataset=None)
     assert int(trainer.state.step) == 4  # 16/4 = 4 optimizer steps
+
+
+def test_len_counts_optimizer_steps_not_dispatches(tmp_path):
+    """len(pipeline) is optimizer-step batches; grouped iteration must cover
+    exactly that many (VERDICT r1 weak #7)."""
+    from tvqaplus_tpu.data.pipeline import DataPipeline
+    cfg = small_cfg(tmp_path)
+    ds = SyntheticTVQADataset(cfg, 20, mode="train")
+    pipe = DataPipeline(ds, cfg, mesh=None, batch_size=4, group=2)
+    assert len(pipe) == 5
+    ks = [b["ex_mask"].shape[0] if b["ex_mask"].ndim == 2 else 1
+          for b, _, _ in pipe]
+    assert sum(ks) == len(pipe)          # batches covered == len()
+    assert len(ks) == 3                  # but only 3 dispatches
+
+
+def test_log_crossing_matches_reference_cadence():
+    """Under K-step dispatch, log points land on the batch indices the
+    reference would log at (batch_idx % log_freq == 0, main.py:81)."""
+    from tvqaplus_tpu.train.loop import log_crossing
+    lf = 800
+    # k=1 reproduces the reference cadence exactly
+    trig = [log_crossing(i, i + 1, lf) for i in range(2400)]
+    points = [p for t, p in trig if t]
+    assert points == [0, 800, 1600]
+    # k=10: same log points, hit by the dispatch containing them
+    prev, points10 = 0, []
+    while prev < 2400:
+        t, p = log_crossing(prev, prev + 10, lf)
+        if t:
+            points10.append(p)
+        prev += 10
+    assert points10 == [0, 800, 1600]
+    # k=7 (misaligned): log point is the first multiple of lf inside the
+    # dispatch interval
+    t, p = log_crossing(798, 805, lf)
+    assert t and p == 800
+    t, _ = log_crossing(801, 808, lf)
+    assert not t
+
+
+def test_niter_uses_optimizer_steps(tmp_path):
+    """TB scalar steps advance in optimizer steps under K-step dispatch
+    (VERDICT r1 weak #7): with 4 steps/epoch, log_freq=2 and K=2, epoch 1
+    logs Train scalars at niter 4*1 + 2 = 6 — not at a dispatch count."""
+    cfg = small_cfg(tmp_path, steps_per_dispatch=2, log_freq=2)
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    trainer = Trainer(cfg, mesh=mesh)
+    seen = []
+    trainer.logger.add_scalar = lambda tag, val, step: seen.append(
+        (tag, step))
+    ds = SyntheticTVQADataset(cfg, 16, mode="train")
+    trainer.train_epoch(ds, epoch=1, valid_dataset=None)
+    train_steps = sorted({s for tag, s in seen if tag.startswith("Train/")})
+    assert train_steps == [6]

@@ -152,6 +152,29 @@ class TestEndToEnd:
         assert acc > 0.3  # planted signal should beat 0.2 chance
         assert len(qid_corrects) == 16
 
+    def test_validate_loss_normalization(self, tmp_path):
+        """validate() returns sum(per-batch summed losses) / n_examples —
+        exactly the reference's ``sum(valid_loss)/len(valid_corrects)``
+        (main.py:181-183, criterion reduction="sum", att loss gated off by
+        model.eval() at stage.py:317)."""
+        cfg = small_cfg(tmp_path, use_sup_att=True)
+        mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+        trainer = Trainer(cfg, mesh=mesh)
+        valid_ds = SyntheticTVQADataset(cfg, 10, mode="valid")  # ragged tail
+        acc, loss, qid_corrects = trainer.validate(valid_ds)
+
+        batch_losses, n_examples = [], 0
+        pipe = trainer._pipeline(valid_ds, shuffle=False,
+                                 batch_size=cfg.test_bsz)
+        for batch, meta, _ in pipe:
+            metrics, _ = trainer._eval_step(trainer.state, batch)
+            batch_losses.append(float(metrics["loss"]))  # summed, not mean
+            n_examples += int(np.asarray(batch["ex_mask"]).sum())
+        assert n_examples == 10
+        np.testing.assert_allclose(loss, sum(batch_losses) / n_examples,
+                                   rtol=1e-6)
+        assert len(qid_corrects) == 10
+
     def test_hard_negative_step(self, tmp_path):
         """Hard-negative sampling engages after hard_negative_start
         (reference main.py:227); the jitted step must stay finite."""

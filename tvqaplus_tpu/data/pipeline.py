@@ -52,6 +52,11 @@ class DataPipeline:
         self._epoch = 0
 
     def __len__(self):
+        """Number of OPTIMIZER-STEP batches per epoch (the reference's
+        ``len(loader)``, main.py:22).  With ``group > 1`` iteration yields
+        fewer *dispatches* (each carrying up to ``group`` stacked batches);
+        callers that count progress must count batches, not dispatches
+        (train/loop.py sums the K of each dispatch)."""
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 

@@ -10,6 +10,11 @@ import numpy as np
 
 TO_REMOVE = 1  # VOC integer-box convention
 
+# PIL.Image transpose methods supported by the reference
+# (bounding_box.py:150-192)
+FLIP_LEFT_RIGHT = 0
+FLIP_TOP_BOTTOM = 1
+
 
 class Boxes:
     """(N, 4) boxes on a (width, height) canvas with named per-box fields."""
@@ -71,6 +76,41 @@ class Boxes:
         b[:, 2] = np.clip(b[:, 2], 0, w - TO_REMOVE)
         b[:, 3] = np.clip(b[:, 3], 0, h - TO_REMOVE)
         return xyxy.convert(self.mode)
+
+    def transpose(self, method):
+        """Flip boxes horizontally or vertically on their canvas
+        (reference bounding_box.py:150-192; only the two PIL flips are
+        implemented there — rotations raise)."""
+        if method not in (FLIP_LEFT_RIGHT, FLIP_TOP_BOTTOM):
+            raise NotImplementedError(
+                "Only FLIP_LEFT_RIGHT and FLIP_TOP_BOTTOM implemented")
+        w, h = self.size
+        b = self.convert("xyxy").bbox
+        x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+        if method == FLIP_LEFT_RIGHT:
+            new = np.stack([w - x2 - TO_REMOVE, y1,
+                            w - x1 - TO_REMOVE, y2], axis=1)
+        else:
+            new = np.stack([x1, h - y2, x2, h - y1], axis=1)
+        out = Boxes(new, self.size, "xyxy")
+        out.extra_fields = dict(self.extra_fields)
+        return out.convert(self.mode)
+
+    def crop(self, box):
+        """Crop to a (left, upper, right, lower) window: shift into window
+        coordinates and clamp to its extent (reference
+        bounding_box.py:193-229; the canvas becomes the window size)."""
+        b = self.convert("xyxy").bbox
+        w, h = box[2] - box[0], box[3] - box[1]
+        new = np.stack([
+            np.clip(b[:, 0] - box[0], 0, w),
+            np.clip(b[:, 1] - box[1], 0, h),
+            np.clip(b[:, 2] - box[0], 0, w),
+            np.clip(b[:, 3] - box[1], 0, h),
+        ], axis=1)
+        out = Boxes(new, (w, h), "xyxy")
+        out.extra_fields = dict(self.extra_fields)
+        return out.convert(self.mode)
 
     def area(self):
         b = self.bbox

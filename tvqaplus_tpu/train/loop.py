@@ -48,6 +48,21 @@ def auto_steps_per_dispatch(cfg, hbm_budget_bytes=6 * 2 ** 30, max_k=16):
     return max(1, min(max_k, int(hbm_budget_bytes // max(batch_bytes, 1))))
 
 
+def log_crossing(prev_steps, new_steps, log_freq):
+    """Log-point bookkeeping for multi-step dispatches.
+
+    The reference logs when ``batch_idx % log_freq == 0`` (main.py:81); a
+    dispatch covers optimizer-step batches [prev_steps, new_steps), so it
+    triggers iff that interval contains a multiple of ``log_freq``.  Returns
+    (triggered, batch_index-of-the-log-point).
+    """
+    if prev_steps == 0:
+        return True, 0
+    if (prev_steps - 1) // log_freq != (new_steps - 1) // log_freq:
+        return True, ((prev_steps + log_freq - 1) // log_freq) * log_freq
+    return False, 0
+
+
 def enable_compilation_cache(cache_dir):
     """Persistent XLA compilation cache — one compile per (program, shape)
     across process restarts (TPU compiles are expensive).  TPU-only: CPU AOT
@@ -237,7 +252,8 @@ class Trainer:
         window = {"loss": [], "loss_att": [], "loss_ts": [], "loss_cls": [],
                   "n_correct": 0.0, "n": 0.0}
         valid_acc_log = ["batch_idx\tacc"]
-        n_steps = len(pipeline)
+        n_steps = len(pipeline)  # optimizer steps, not dispatches
+        steps_done = 0           # optimizer steps completed so far
 
         profiling = False
         timer = time.time()
@@ -247,6 +263,8 @@ class Trainer:
                 profiling = True
             meters["dataloading"].update(time.time() - timer)
             t0 = time.time()
+            k = batch["ex_mask"].shape[0] if batch["ex_mask"].ndim == 2 else 1
+            prev_steps, steps_done = steps_done, steps_done + k
             metrics = self._dispatch_train(batch, use_hard_negatives)
             if cfg.debug:  # per-step timing only in debug (forces a sync);
                 # host fetch, not block_until_ready (no-op on axon —
@@ -261,9 +279,11 @@ class Trainer:
             window["n_correct"] += metrics["n_correct"]
             window["n"] += metrics["n_eff"]
 
-            if batch_idx % cfg.log_freq == 0:
-                niter = epoch * n_steps + batch_idx
-                if batch_idx > 0:
+            triggered, log_point = log_crossing(prev_steps, steps_done,
+                                                cfg.log_freq)
+            if triggered:
+                niter = epoch * n_steps + log_point
+                if log_point > 0:
                     window = {k: (jax.device_get(v) if k in
                                   ("n_correct", "n") else
                                   [float(x) for x in jax.device_get(v)])
@@ -283,7 +303,7 @@ class Trainer:
                     valid_acc, valid_loss, _ = self.validate(valid_dataset)
                     self.logger.add_scalar("Valid/Acc", valid_acc, niter)
                     self.logger.add_scalar("Valid/Loss", valid_loss, niter)
-                    valid_acc_log.append("%02d\t%.4f" % (batch_idx, valid_acc))
+                    valid_acc_log.append("%02d\t%.4f" % (log_point, valid_acc))
                     if valid_acc > self.best_acc:
                         self.best_acc = valid_acc
                         self.save(os.path.join(cfg.results_dir,
@@ -296,7 +316,9 @@ class Trainer:
                 jax.profiler.stop_trace()
                 profiling = False
             timer = time.time()
-            if cfg.debug and batch_idx == 5:
+            # reference debug break at batch 5 (main.py:131) — count batches,
+            # not dispatches, under multi-step dispatch
+            if cfg.debug and steps_done > 5:
                 for name, m in meters.items():
                     print(f"{name}: max {m.max:.4f} min {m.min:.4f} "
                           f"avg {m.avg:.4f}")
