@@ -83,9 +83,13 @@ def main():
     stacked = {key: np.stack([v] * k) for key, v in arrays.items()}
     batch = shard_batch(mesh, stacked, stacked=True)
 
-    # FLOPs of one dispatch (k steps) from XLA's compiled cost analysis
-    dispatch_flops = compiled_flops(
-        trainer._train_step_scan, trainer.state, batch, trainer.rng,
+    # FLOPs of ONE optimizer step from XLA's compiled cost analysis.
+    # Analyzed on the single-step program: cost analysis counts a scan body
+    # once regardless of trip count, so analyzing the K-step dispatch and
+    # dividing by K under-reports ~Kx (round-1 bug).
+    single = shard_batch(mesh, arrays)
+    flops_per_step = compiled_flops(
+        trainer._train_step, trainer.state, single, trainer.rng,
         use_hard_negatives=False)
 
     # compile + warmup
@@ -105,7 +109,6 @@ def main():
     step_s = dt / (STEPS * k)
     qps = cfg.bsz / step_s
 
-    flops_per_step = dispatch_flops / k if dispatch_flops else None
     tflops = mfu = None
     if flops_per_step:
         tflops = flops_per_step / step_s / 1e12

@@ -118,7 +118,16 @@ def _reference_inference(cfg, tmodel, pipeline, object_word_ids):
 
         ed.EasyDict = EasyDict
         sys.modules["easydict"] = ed
-    from inference import find_max_pair  # the reference's own host scan
+    # Load the reference's inference.py under a unique module name:
+    # test_cli_e2e.py imports OUR repo-root inference.py as "inference",
+    # so a plain `from inference import ...` here would hit the wrong
+    # module when the full suite runs in one process.
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_ref_inference", os.path.join(REF, "inference.py"))
+    ref_inference = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_inference)
+    find_max_pair = ref_inference.find_max_pair  # the ref's own host scan
 
     predictions = dict(ts_answer={}, raw_bbox=[])
     for arrays, meta, _ in pipeline:

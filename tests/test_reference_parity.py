@@ -22,20 +22,29 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "model")),
 B, A, LI, LQA, LS, LR = 2, 5, 4, 7, 6, 5
 DE, DV, H = 16, 12, 16
 
+# reference operating dimensions (/root/reference/config.py:88-117,
+# run_main.sh:5-19): hsz 128, BERT-768 inputs, vfeat 300, Li 50 frames,
+# Lqa 40 QA tokens, Lr 25 max regions.  VERDICT r1 missing #3: parity was
+# only ever checked at toy dims; bf16/f32 boundary effects and LN/softmax
+# floors at the real shapes were untested.
+REF_DIMS = dict(B=2, A=5, LI=50, LQA=40, LS=50, LR=25, DE=768, DV=300, H=128)
+TOY_DIMS = dict(B=B, A=A, LI=LI, LQA=LQA, LS=LS, LR=LR, DE=DE, DV=DV, H=H)
 
-def _load_reference_stage(add_local):
+
+def _load_reference_stage(add_local, dims=None):
     import torch  # noqa
+    d = dims or TOY_DIMS
     sys.path.insert(0, os.path.join(REF, "model"))
     sys.path.insert(0, REF)
     from types import SimpleNamespace
     import importlib
     stage_mod = importlib.import_module("stage")
     opt = SimpleNamespace(
-        sub_flag=True, vfeat_flag=True, vfeat_size=DV, t_iter=0,
+        sub_flag=True, vfeat_flag=True, vfeat_size=d["DV"], t_iter=0,
         extra_span_length=3, add_local=add_local, use_sup_att=False,
         num_negatives=2, negative_pool_size=0, num_hard=2, drop_topk=0,
         margin=0.1, att_loss_type="lse", scale=10.0, alpha=20.0,
-        dropout=0.1, hsz=H, embedding_size=DE,
+        dropout=0.1, hsz=d["H"], embedding_size=d["DE"],
         input_encoder_n_blocks=1, input_encoder_n_conv=2,
         input_encoder_kernel_size=7, input_encoder_n_heads=0,
         cls_encoder_n_blocks=1, cls_encoder_n_conv=2,
@@ -47,36 +56,40 @@ def _load_reference_stage(add_local):
     return model
 
 
-def _tiny_flax(add_local):
+def _tiny_flax(add_local, dims=None):
     import jax
     from tvqaplus_tpu.models.stage import STAGE, ModelConfig
-    cfg = ModelConfig(hsz=H, bridge_hsz=300, embedding_size=DE,
-                      vfeat_size=DV, add_local=add_local)
+    d = dims or TOY_DIMS
+    cfg = ModelConfig(hsz=d["H"], bridge_hsz=300, embedding_size=d["DE"],
+                      vfeat_size=d["DV"], add_local=add_local)
     model = STAGE(cfg)
-    batch = _np_batch()
+    batch = _np_batch(dims=d)
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                            train=False)
     return model, variables
 
 
-def _np_batch(seed=0):
+def _np_batch(seed=0, dims=None):
+    d = dims or TOY_DIMS
+    B, A, LI, LQA, LS, LR = (d[k] for k in ("B", "A", "LI", "LQA", "LS", "LR"))
+    DE, DV = d["DE"], d["DV"]
     rng = np.random.default_rng(seed)
     f32 = np.float32
     return {
         "qas": rng.integers(0, 40, (B, A, LQA)).astype(np.int32),
-        "qas_mask": (np.arange(LQA) < 5).astype(f32)[None, None].repeat(
+        "qas_mask": (np.arange(LQA) < LQA - 2).astype(f32)[None, None].repeat(
             B, 0).repeat(A, 1),
         "qas_bert": rng.standard_normal((B, A, LQA, DE)).astype(f32),
         "q_l": np.full((B,), 3, np.int32),
         "sub_bert": rng.standard_normal((B, LI, LS, DE)).astype(f32),
-        "sub_mask": (np.arange(LS) < 4).astype(f32)[None, None].repeat(
+        "sub_mask": (np.arange(LS) < LS - 2).astype(f32)[None, None].repeat(
             B, 0).repeat(LI, 1),
         "vid": rng.standard_normal((B, LI, LR, DV)).astype(f32),
-        "vid_mask": (np.arange(LR) < 4).astype(f32)[None, None].repeat(
+        "vid_mask": (np.arange(LR) < LR - 1).astype(f32)[None, None].repeat(
             B, 0).repeat(LI, 1),
-        "target": np.array([1, 3], np.int32),
-        "ts_st": np.array([0, 1], np.int32),
-        "ts_ed": np.array([1, 2], np.int32),
+        "target": np.array([1, 3], np.int32)[:B],
+        "ts_st": np.array([0, 1], np.int32)[:B],
+        "ts_ed": np.array([1, 2], np.int32)[:B],
         "ts_mask": np.ones((B, LI), f32),
         "att_labels": np.zeros((B, LI, LQA, LR), f32),
         "att_defined": np.zeros((B, LI, LQA, LR), f32),
@@ -105,6 +118,7 @@ def _torch_batch(np_batch):
     import torch
     from types import SimpleNamespace
     b = np_batch
+    B, LI = b["ts_mask"].shape
     return SimpleNamespace(
         qid=list(range(B)),
         qas=torch.from_numpy(b["qas"].astype(np.int64)),
@@ -130,15 +144,20 @@ def _torch_batch(np_batch):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("add_local", [False, True])
-def test_forward_matches_reference_model(add_local):
+@pytest.mark.parametrize("dims", ["toy", "ref"])
+def test_forward_matches_reference_model(add_local, dims):
     import torch
     import jax
 
-    fmodel, variables = _tiny_flax(add_local)
-    np_batch = _np_batch()
+    if dims == "ref" and add_local:
+        pytest.skip("ref-dims covered once (runtime); add_local semantics "
+                    "already pinned at toy dims")
+    d = REF_DIMS if dims == "ref" else TOY_DIMS
+    fmodel, variables = _tiny_flax(add_local, dims=d)
+    np_batch = _np_batch(dims=d)
     out = fmodel.apply(variables, np_batch, train=False)
 
-    tmodel = _load_reference_stage(add_local)
+    tmodel = _load_reference_stage(add_local, dims=d)
     tmodel = _copy_flax_to_torch(variables["params"], tmodel, fmodel.cfg)
     tbatch = _torch_batch(np_batch)
     with torch.no_grad():

@@ -42,6 +42,11 @@ class Config:
     results_dir: str = ""               # derived: results_dir_base + timestamp
     log_freq: int = 800                 # validate/log every N train batches
     seed: int = 2018
+    # training PRNG implementation.  "rbg" uses the TPU-native
+    # RngBitGenerator: threefry lowers to ~2000 serialized scalar
+    # xor/shift ops PER STEP on the entry computation (~20 ms of the
+    # round-1 47 ms step at bench shapes — measured, docs/BENCH.md)
+    rng_impl: str = "rbg"
 
     # -- training ------------------------------------------------------
     lr: float = 1e-3

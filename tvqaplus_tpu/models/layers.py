@@ -55,7 +55,7 @@ class LinearWrapper(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         if self.layer_norm:
-            x = nn.LayerNorm(epsilon=LN_EPS, name="ln")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.out_hsz, dtype=self.dtype, name="fc")(x)
         return nn.relu(x) if self.relu else x
@@ -109,7 +109,7 @@ class ConvLinear(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         if self.layer_norm:
-            x = nn.LayerNorm(epsilon=LN_EPS, name="ln")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return DepthwiseSeparableConv(self.out_hsz, self.kernel_size,
                                       relu=self.relu, dtype=self.dtype,
@@ -188,7 +188,7 @@ class EncoderBlock(nn.Module):
         out = PositionEncoding(dtype=self.dtype, name="pos")(x)
         for i in range(self.n_conv):
             residual = out
-            out = nn.LayerNorm(epsilon=LN_EPS, name=f"ln_{i}")(out)
+            out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=f"ln_{i}")(out)
             if i % 2 == 0:  # dropout on even conv layers only (encoder.py:41)
                 out = nn.Dropout(self.dropout, deterministic=not train)(out)
             out = DepthwiseSeparableConv(
@@ -197,12 +197,12 @@ class EncoderBlock(nn.Module):
             out = out + residual
         if self.num_heads:
             residual = out
-            out = nn.LayerNorm(epsilon=LN_EPS, name="attn_ln")(out)
+            out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="attn_ln")(out)
             out = MultiHeadedAttention(
                 self.num_heads, self.dropout, dtype=self.dtype,
                 name="attn")(out, mask, train=train)
             out = out + residual
-        return nn.LayerNorm(epsilon=LN_EPS, name="final_ln")(out)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_ln")(out)
 
 
 class StackedEncoder(nn.Module):
@@ -232,11 +232,11 @@ class MLPBridge(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = nn.LayerNorm(epsilon=LN_EPS, name="ln_in")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_in")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.out_hsz, dtype=self.dtype, name="fc")(x)
         x = nn.relu(x)
-        return nn.LayerNorm(epsilon=LN_EPS, name="ln_out")(x)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_out")(x)
 
 
 class InputEmbedding(nn.Module):
@@ -251,7 +251,7 @@ class InputEmbedding(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.out_hsz, dtype=self.dtype, name="fc")(x)
         x = nn.relu(x)
-        return nn.LayerNorm(epsilon=LN_EPS, name="ln_out")(x)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_out")(x)
 
 
 class DownProjection(nn.Module):

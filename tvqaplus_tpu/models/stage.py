@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from tvqaplus_tpu.models import spans
-from tvqaplus_tpu.models.attention import l2_normalize, structured_attention
+from tvqaplus_tpu.models.attention import (
+    _dropout,
+    l2_normalize,
+    structured_attention,
+)
 from tvqaplus_tpu.models.layers import (
     ConvLinear,
     DownProjection,
@@ -156,26 +160,40 @@ class STAGE(nn.Module):
         """Structured attention + BiDAF-style fusion
         (reference stage.py:365-387).
 
-        With ``use_pallas`` (and no dropout active / non-default void
-        vectors) the whole pipeline runs as one fused TPU kernel — see
-        ops/pallas_attention.py.  The dropout training path stays pure-JAX
-        (the kernel's in-graph rematerialized backward cannot replay the
-        TPU PRNG dropout mask).
+        With ``use_pallas`` (and no non-default void vectors) the whole
+        pipeline runs as one fused TPU kernel with a real Pallas backward —
+        see ops/pallas_attention.py.  Training dropout is split across its
+        two reference sites: the similarity dropout
+        (context_query_attention.py:95-96) is applied here on the normalized
+        kernel *inputs* (gradients flow through the custom_vjp inputs), the
+        projection dropout (stage.py:15-32) runs in-kernel via the TPU PRNG
+        (the backward kernel replays the stream).  On non-TPU backends the
+        dropout path falls back to pure JAX — interpret mode has no TPU PRNG.
         """
         c = self.cfg
         use_void = use_void and c.non_visual > 0
         dropout_active = train and c.dropout > 0.0
-        if c.use_pallas and not use_void and not dropout_active:
+        kernel_ok = c.use_pallas and not use_void and (
+            not dropout_active or jax.default_backend() == "tpu")
+        if kernel_ok:
             from tvqaplus_tpu.ops.pallas_attention import \
                 fused_qa_ctx_attention
             dp = self.c2q_down_projection
             ce = qa_embed[:, :, 0]                       # (B, A, Lqa, D)
             qe = ctx_embed[:, 0]                         # (B, Li, Lc, D)
+            cn, qn = l2_normalize(ce), l2_normalize(qe)
+            seed = jnp.zeros((), jnp.int32)
+            if dropout_active:
+                rng = self.make_rng("dropout")
+                rng_c, rng_q, rng_seed = jax.random.split(rng, 3)
+                cn = _dropout(cn, c.dropout, rng_c)      # similarity dropout
+                qn = _dropout(qn, c.dropout, rng_q)
+                seed = jax.random.randint(rng_seed, (), 0, 2 ** 31 - 1,
+                                          dtype=jnp.int32)
             mixed, raw_s = fused_qa_ctx_attention(
-                l2_normalize(ce), ce, l2_normalize(qe), qe,
-                qa_mask[:, :, 0], ctx_mask[:, 0],
-                dp.ln_scale, dp.ln_bias, dp.kernel, dp.bias, c.scale,
-                c.dtype)
+                cn, ce, qn, qe, qa_mask[:, :, 0], ctx_mask[:, 0],
+                dp.ln_scale, dp.ln_bias, dp.kernel, dp.bias, seed, c.scale,
+                c.dtype, c.dropout if dropout_active else 0.0)
             # mixed_mask = (s_mask.sum(-1) != 0): word valid & any region
             any_region = (jnp.sum(ctx_mask[:, 0], -1) > 0)   # (B, Li)
             mixed_mask = (qa_mask[:, :, 0][:, :, None, :]

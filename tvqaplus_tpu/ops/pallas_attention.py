@@ -1,9 +1,9 @@
-"""Fused QA-context attention Pallas kernel.
+"""Fused QA-context attention Pallas kernel (forward AND backward).
 
 Fuses the whole ``qa_ctx_attention`` pipeline of STAGE (structured cosine
-attention + BiDAF-style [qa; A; qa*A] concat + LayerNorm + down-projection +
-ReLU, reference stage.py:365-387 / context_query_attention.py:35-101) into
-one TPU kernel.
+attention + BiDAF-style [qa; A; qa*A] concat + LayerNorm + dropout +
+down-projection + ReLU, reference stage.py:365-387 /
+context_query_attention.py:35-101) into one TPU kernel per direction.
 
 Why: the train/eval step is activation-bandwidth-bound.  The pure-XLA path
 materializes, per stream, S (B,A,Li,Lqa,Lr), its softmax, A (B,A,Li,Lqa,D)
@@ -12,20 +12,27 @@ at the reference shapes.  The kernel computes ``mixed`` directly and writes
 only it (+ the raw scores needed by the attention loss); everything else
 lives in VMEM/registers.
 
-Grid: one program per (batch, frame); all five answers are processed
-together as one (A*Lqa, D) block, so every op is a static-shape matmul on
-the MXU (bf16 inputs, f32 accumulation).  The QA block is re-fetched only
-when the batch index changes.
+Grid: one program per (batch, frame); the 5 answers are statically unrolled
+(Mosaic forbids the cross-lane reshape a merged (A*Lqa, D) layout would
+need), so every op is a static-shape matmul on the MXU (bf16 inputs, f32
+accumulation).
 
-The similarity dropout (reference context_query_attention.py:95-96) is
-applied by the caller on the normalized inputs (they are kernel inputs
-anyway); the projection dropout (stage.py:135) is applied in-kernel via the
-TPU PRNG when ``dropout_rate > 0``.
+Dropout (training path):
+* the similarity dropout of reference context_query_attention.py:95-96 acts
+  on the kernel's *inputs* (the normalized embeddings ``cn``/``qn``) — the
+  caller applies it in XLA, so its gradient flows through the custom_vjp
+  inputs with no replay machinery;
+* the projection dropout of reference stage.py:15-32 (LinearWrapper's
+  LN -> Dropout -> Linear) is generated in-kernel with the TPU PRNG,
+  seeded per (batch, frame) grid cell.  The backward kernel re-seeds
+  identically and replays the same mask stream.
 
-``fused_qa_ctx_attention`` wraps the kernel in a ``jax.custom_vjp`` whose
-backward re-derives gradients through the equivalent pure-JAX computation
-(flash-attention-style rematerialization: nothing but the kernel inputs is
-saved between forward and backward).
+The backward is a REAL Pallas kernel (flash-attention-style: it re-derives
+every intermediate from the saved kernel inputs in VMEM and accumulates
+gradients across grid steps in revisited output blocks).  On non-TPU
+backends (interpret-mode tests) the backward falls back to the pure-JAX
+``reference_impl`` VJP, which is only valid for dropout_rate == 0 — callers
+gate the dropout path on ``jax.default_backend() == "tpu"``.
 """
 from __future__ import annotations
 
@@ -33,6 +40,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,116 +49,289 @@ from tvqaplus_tpu.ops.masking import NEG_INF, SAFE_FLOOR
 LN_EPS = 1e-5
 
 
-def _kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
-            gamma_ref, beta_ref, w_ref, b_ref,
-            mixed_ref, raw_ref, *, scale, dropout_rate, compute_dtype):
-    """One (batch, frame) cell; static unroll over the 5 answers (Mosaic
-    forbids the cross-lane reshapes a merged (A*Lqa, D) layout would need).
+def _keep_mask(shape, dropout_rate):
+    """Draw one keep/(1-p) dropout scale from the TPU PRNG stream.
+
+    MUST be called the same number of times, with the same shapes, in the
+    same order, after the same ``pltpu.prng_seed``, in the forward and
+    backward kernels — the backward replays the stream to reproduce the
+    forward masks exactly."""
+    bits = pltpu.prng_random_bits(shape)
+    u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5  # [0, 1)
+    return (u >= dropout_rate).astype(jnp.float32) * (1.0 / (1.0 - dropout_rate))
+
+
+def _frames_per_cell(li):
+    """Largest divisor of Li up to 10: each grid cell processes a block of
+    consecutive frames, amortizing per-cell launch/DMA latency (the per-frame
+    compute is ~1 us — a (B, Li) grid is latency-bound, measured 8 us/cell)."""
+    for t in range(min(10, li), 0, -1):
+        if li % t == 0:
+            return t
+    return 1
+
+
+def _out_dtype(compute_dtype):
+    """``mixed`` rides the compute dtype (bf16 halves the kernel's dominant
+    HBM write + the consumer's read); ``raw`` stays f32 for the att-loss
+    thresholds."""
+    return jnp.float32 if compute_dtype == jnp.float32 else jnp.bfloat16
+
+
+def _frame_fwd(cn, ce, c_mask, qn, qe, q_mask, gamma, beta, w_ref, bias,
+               scale, dropout_rate, ct):
+    """Shared per-frame forward on answer-merged (M, .) rows; returns every
+    intermediate the backward needs.  The 5 answers are MERGED into the
+    matmul row axis (a leading-dim collapse Mosaic supports): one
+    (A*Lqa, .) op chain instead of 5 unrolled small ones.
+
+    The dropout draw order here defines the PRNG stream the backward
+    replays: exactly one (M, 3D) draw per frame, in frame order."""
+    m, d = cn.shape
+    inv3d = 1.0 / (3 * d)
+
+    s = jax.lax.dot_general(
+        cn, qn, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (M, Lr)
+    s_mask = c_mask * q_mask
+    masked = s - NEG_INF * (s_mask - 1.0)               # s - 1e10*(1-m)
+
+    zc = masked * scale
+    z = jnp.maximum(zc, SAFE_FLOOR)
+    z = z - jnp.max(z, axis=-1, keepdims=True)
+    e = jnp.exp(z)
+    p0 = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = p0 * s_mask
+
+    a = jax.lax.dot_general(
+        p.astype(ct), qe, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (M, D)
+
+    # LayerNorm over the virtual concat [ce; a; ce*a] (3D wide)
+    cea = ce * a
+    mean = (jnp.sum(ce, -1, keepdims=True)
+            + jnp.sum(a, -1, keepdims=True)
+            + jnp.sum(cea, -1, keepdims=True)) * inv3d
+    var = (jnp.sum(jnp.square(ce), -1, keepdims=True)
+           + jnp.sum(jnp.square(a), -1, keepdims=True)
+           + jnp.sum(jnp.square(cea), -1, keepdims=True)) * inv3d \
+        - jnp.square(mean)
+    inv_std = jax.lax.rsqrt(var + LN_EPS)
+
+    xhat = (jnp.concatenate([ce, a, cea], axis=-1) - mean) * inv_std
+    y = xhat * gamma + beta                             # (M, 3D)
+    keep = _keep_mask((m, 3 * d), dropout_rate) if dropout_rate > 0.0 else None
+    yd = y * keep if keep is not None else y
+    out = jax.lax.dot_general(
+        yd.astype(ct), w_ref[...].astype(ct), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias      # (M, D)
+    return dict(s_mask=s_mask, masked=masked, zc=zc, p0=p0, p=p, a=a,
+                cea=cea, inv_std=inv_std, xhat=xhat, keep=keep, yd=yd,
+                out=out)
+
+
+def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
+                gamma_ref, beta_ref, w_ref, b_ref,
+                mixed_ref, raw_ref, *, scale, dropout_rate, compute_dtype):
+    """One (batch, frame-block) cell.
 
     Refs (leading singleton block dims included):
-      cn/ce: (1, A, Lqa, D) normalized / raw QA embeddings
-      qn/qe: (1, 1, Lr, D) normalized / raw context for this frame
-      cm: (1, A, Lqa, 1) QA mask; qm: (1, 1, 1, Lr) context mask
+      cn/ce: (1, A, Lqa, D) normalized(+sim-dropout) / raw QA embeddings
+      qn/qe: (1, T, Lr, D) normalized(+sim-dropout) / raw context frames
+      cm: (1, A, Lqa, 1) QA mask; qm: (1, T, 1, Lr) context mask
       gamma/beta: (1, 3D); w: (3D, D); b: (1, D)
-      mixed_ref: (1, A, 1, Lqa, D); raw_ref: (1, A, 1, Lqa, Lr)
+      mixed_ref: (1, A, T, Lqa, D); raw_ref: (1, A, T, Lqa, Lr)
     """
     a_dim, lqa, d = cn_ref.shape[1:]
+    t_frames = qn_ref.shape[1]
     ct = compute_dtype
-
-    qn = qn_ref[0, 0].astype(ct)                        # (Lr, D)
-    qe = qe_ref[0, 0].astype(ct)
-    q_mask = qm_ref[0, 0].astype(jnp.float32)           # (1, Lr)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+        # Mosaic accepts at most two seed values: fold the grid cell
+        # into one (backward replays the identical seeding)
+        pltpu.prng_seed(
+            seed_ref[0],
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
 
     gamma = gamma_ref[0, :]
     beta = beta_ref[0, :]
     bias = b_ref[0, :]
+    m = a_dim * lqa
+    cn = cn_ref[0].reshape(m, d).astype(ct)
+    ce = ce_ref[0].reshape(m, d).astype(jnp.float32)
+    c_mask = cm_ref[0].reshape(m, 1).astype(jnp.float32)
+
+    for t in range(t_frames):  # static unroll over the frame block
+        f = _frame_fwd(cn, ce, c_mask,
+                       qn_ref[0, t].astype(ct), qe_ref[0, t].astype(ct),
+                       qm_ref[0, t].astype(jnp.float32),
+                       gamma, beta, w_ref, bias, scale, dropout_rate, ct)
+        raw_ref[0, :, t] = f["masked"].reshape(a_dim, lqa, -1)
+        mixed_ref[0, :, t] = jnp.maximum(f["out"], 0.0).astype(
+            mixed_ref.dtype).reshape(a_dim, lqa, d)
+
+
+def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
+                gamma_ref, beta_ref, w_ref, b_ref, gmix_ref, graw_ref,
+                gcn_ref, gce_ref, gqn_ref, gqe_ref,
+                ggamma_ref, gbeta_ref, gw_ref, gb_ref,
+                *, scale, dropout_rate, compute_dtype):
+    """Backward cell: recompute the forward from inputs (nothing saved but
+    the kernel inputs), replay the dropout stream, and accumulate all eight
+    gradients.  Accumulation layout:
+      gcn/gce (1, A, Lqa, D): revisited across frame blocks j (init at j==0)
+      gqn/gqe (1, T, Lr, D):  one visit per (i, j)            (written fresh)
+      ggamma/gbeta (1, 3D), gw (3D, D), gb (1, D): revisited across the
+        whole grid (init at i == j == 0)
+    TPU grid steps run sequentially, so read-modify-write is race-free.
+    """
+    a_dim, lqa, d = cn_ref.shape[1:]
+    t_frames, lr = qn_ref.shape[1:3]
+    ct = compute_dtype
+    i, j = pl.program_id(0), pl.program_id(1)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
+
+    @pl.when(j == 0)
+    def _init_qa_grads():
+        gcn_ref[...] = jnp.zeros_like(gcn_ref)
+        gce_ref[...] = jnp.zeros_like(gce_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init_param_grads():
+        ggamma_ref[...] = jnp.zeros_like(ggamma_ref)
+        gbeta_ref[...] = jnp.zeros_like(gbeta_ref)
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+        gb_ref[...] = jnp.zeros_like(gb_ref)
+
+    gamma = gamma_ref[0, :]
+    beta = beta_ref[0, :]
+    bias = b_ref[0, :]
+    m = a_dim * lqa
     inv3d = 1.0 / (3 * d)
+    cn = cn_ref[0].reshape(m, d).astype(ct)
+    ce = ce_ref[0].reshape(m, d).astype(jnp.float32)
+    c_mask = cm_ref[0].reshape(m, 1).astype(jnp.float32)
 
-    for ai in range(a_dim):  # static unroll
-        cn = cn_ref[0, ai].astype(ct)                   # (Lqa, D)
-        ce = ce_ref[0, ai].astype(jnp.float32)
-        c_mask = cm_ref[0, ai].astype(jnp.float32)      # (Lqa, 1)
+    gcn_acc = jnp.zeros((m, d), jnp.float32)
+    gce_acc = jnp.zeros((m, d), jnp.float32)
+    ggamma_acc = jnp.zeros((1, 3 * d), jnp.float32)
+    gbeta_acc = jnp.zeros((1, 3 * d), jnp.float32)
+    gw_acc = jnp.zeros((3 * d, d), jnp.float32)
+    gb_acc = jnp.zeros((1, d), jnp.float32)
 
-        s = jax.lax.dot_general(
-            cn, qn, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (Lqa, Lr)
-        s_mask = c_mask * q_mask
-        masked = s - NEG_INF * (s_mask - 1.0)           # s - 1e10*(1-m)
-        raw_ref[0, ai, 0] = masked
+    for t in range(t_frames):  # static unroll, same PRNG order as forward
+        qn = qn_ref[0, t].astype(ct)
+        qe = qe_ref[0, t].astype(ct)
+        f = _frame_fwd(cn, ce, c_mask, qn, qe,
+                       qm_ref[0, t].astype(jnp.float32),
+                       gamma, beta, w_ref, bias, scale, dropout_rate, ct)
+        g_mixed = gmix_ref[0, :, t].reshape(m, d).astype(jnp.float32)
+        g_raw = graw_ref[0, :, t].reshape(m, lr)
 
-        z = jnp.maximum(masked * scale, SAFE_FLOOR)
-        z = z - jnp.max(z, axis=-1, keepdims=True)
-        e = jnp.exp(z)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)) * s_mask
+        g_out = g_mixed * (f["out"] > 0.0).astype(jnp.float32)     # relu
+        gb_acc = gb_acc + jnp.sum(g_out, axis=0, keepdims=True)
+        gw_acc = gw_acc + jax.lax.dot_general(
+            f["yd"].astype(ct), g_out.astype(ct), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                    # (3D, D)
+        g_yd = jax.lax.dot_general(
+            g_out.astype(ct), w_ref[...].astype(ct),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                    # (M, 3D)
+        g_y = g_yd * f["keep"] if f["keep"] is not None else g_yd
+        xhat = f["xhat"]
+        ggamma_acc = ggamma_acc + jnp.sum(g_y * xhat, 0, keepdims=True)
+        gbeta_acc = gbeta_acc + jnp.sum(g_y, 0, keepdims=True)
 
-        a = jax.lax.dot_general(
-            p.astype(ct), qe, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (Lqa, D)
+        # LayerNorm stats backward over the (virtual-concat) 3D axis
+        gxh = g_y * gamma                                          # (M, 3D)
+        m1 = jnp.sum(gxh, -1, keepdims=True) * inv3d
+        m2 = jnp.sum(gxh * xhat, -1, keepdims=True) * inv3d
+        gx = f["inv_std"] * (gxh - m1 - xhat * m2)                 # (M, 3D)
+        gx0, gx1, gx2 = gx[:, :d], gx[:, d:2 * d], gx[:, 2 * d:]
+        a = f["a"]
+        g_ce = gx0 + gx2 * a
+        g_a = gx1 + gx2 * ce
 
-        # LayerNorm over the virtual concat [ce; a; ce*a] (3D wide)
-        cea = ce * a
-        mean = (jnp.sum(ce, -1, keepdims=True)
-                + jnp.sum(a, -1, keepdims=True)
-                + jnp.sum(cea, -1, keepdims=True)) * inv3d
-        var = (jnp.sum(jnp.square(ce), -1, keepdims=True)
-               + jnp.sum(jnp.square(a), -1, keepdims=True)
-               + jnp.sum(jnp.square(cea), -1, keepdims=True)) * inv3d \
-            - jnp.square(mean)
-        inv_std = jax.lax.rsqrt(var + LN_EPS)
+        # attention backward
+        g_p = jax.lax.dot_general(
+            g_a.astype(ct), qe, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                    # (M, Lr)
+        gqe_ref[0, t] = jax.lax.dot_general(
+            f["p"].astype(ct), g_a.astype(ct), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                    # (Lr, D)
+        g_p0 = g_p * f["s_mask"]
+        p0 = f["p0"]
+        g_z = p0 * (g_p0 - jnp.sum(g_p0 * p0, axis=-1, keepdims=True))
+        g_masked = g_z * scale * (f["zc"] > SAFE_FLOOR).astype(jnp.float32)
+        g_s = g_masked + g_raw
+        gcn_acc = gcn_acc + jax.lax.dot_general(
+            g_s.astype(ct), qn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                    # (M, D)
+        gce_acc = gce_acc + g_ce
+        gqn_ref[0, t] = jax.lax.dot_general(
+            g_s.astype(ct), cn, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                    # (Lr, D)
 
-        def part(x, k):
-            lo, hi = k * d, (k + 1) * d  # static concat segment
-            normed = (x - mean) * inv_std * gamma[lo:hi] + beta[lo:hi]
-            if dropout_rate > 0.0:
-                bits = pltpu.prng_random_bits((lqa, d))
-                u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
-                keep = (u >= dropout_rate).astype(jnp.float32)
-                normed = normed * keep * (1.0 / (1.0 - dropout_rate))
-            return jax.lax.dot_general(
-                normed.astype(ct), w_ref[lo:hi, :].astype(ct),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    gcn_ref[0] += gcn_acc.reshape(a_dim, lqa, d)
+    gce_ref[0] += gce_acc.reshape(a_dim, lqa, d)
+    ggamma_ref[...] += ggamma_acc
+    gbeta_ref[...] += gbeta_acc
+    gw_ref[...] += gw_acc
+    gb_ref[...] += gb_acc
 
-        out = part(ce, 0) + part(a, 1) + part(cea, 2) + bias
-        mixed_ref[0, ai, 0] = jnp.maximum(out, 0.0)
+
+def _common_specs(bsz, num_a, lqa, d, li, lr, t):
+    return [
+        pl.BlockSpec((1, num_a, lqa, d), lambda i, j, s: (i, 0, 0, 0)),
+        pl.BlockSpec((1, num_a, lqa, d), lambda i, j, s: (i, 0, 0, 0)),
+        pl.BlockSpec((1, t, lr, d), lambda i, j, s: (i, j, 0, 0)),
+        pl.BlockSpec((1, t, lr, d), lambda i, j, s: (i, j, 0, 0)),
+        pl.BlockSpec((1, num_a, lqa, 1), lambda i, j, s: (i, 0, 0, 0)),
+        pl.BlockSpec((1, t, 1, lr), lambda i, j, s: (i, j, 0, 0)),
+        pl.BlockSpec((1, 3 * d), lambda i, j, s: (0, 0)),
+        pl.BlockSpec((1, 3 * d), lambda i, j, s: (0, 0)),
+        pl.BlockSpec((3 * d, d), lambda i, j, s: (0, 0)),
+        pl.BlockSpec((1, d), lambda i, j, s: (0, 0)),
+    ]
+
+
+def _common_operands(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b):
+    bsz, num_a, lqa, d = cn.shape
+    _, li, lr, _ = qn.shape
+    return (cn.astype(jnp.float32), ce.astype(jnp.float32),
+            qn.astype(jnp.float32), qe.astype(jnp.float32),
+            c_mask.reshape(bsz, num_a, lqa, 1).astype(jnp.float32),
+            q_mask.reshape(bsz, li, 1, lr).astype(jnp.float32),
+            gamma.reshape(1, 3 * d).astype(jnp.float32),
+            beta.reshape(1, 3 * d).astype(jnp.float32),
+            w.astype(jnp.float32), b.reshape(1, d).astype(jnp.float32))
 
 
 def _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
                     scale, dropout_rate, seed, interpret=False,
                     compute_dtype=jnp.bfloat16):
-    """Launch the kernel.  Shapes:
+    """Launch the forward kernel.  Shapes:
       cn/ce: (B, A, Lqa, D); qn/qe: (B, Li, Lr, D);
       c_mask: (B, A, Lqa); q_mask: (B, Li, Lr).
-    Returns mixed (B, A, Li, Lqa, D), raw_S (B, A, Li, Lqa, Lr), f32.
+    Returns mixed (B, A, Li, Lqa, D) in the compute dtype and
+    raw_S (B, A, Li, Lqa, Lr) in f32.
     """
     bsz, num_a, lqa, d = cn.shape
     _, li, lr, _ = qn.shape
-    seed_arr = jnp.asarray([seed], jnp.int32)
+    t = _frames_per_cell(li)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
-    kernel = functools.partial(_kernel, scale=scale,
+    kernel = functools.partial(_fwd_kernel, scale=scale,
                                dropout_rate=dropout_rate,
                                compute_dtype=compute_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bsz, li),
-        in_specs=[
-            pl.BlockSpec((1, num_a, lqa, d), lambda i, j, s: (i, 0, 0, 0)),
-            pl.BlockSpec((1, num_a, lqa, d), lambda i, j, s: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, lr, d), lambda i, j, s: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, lr, d), lambda i, j, s: (i, j, 0, 0)),
-            pl.BlockSpec((1, num_a, lqa, 1), lambda i, j, s: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1, lr), lambda i, j, s: (i, j, 0, 0)),
-            pl.BlockSpec((1, 3 * d), lambda i, j, s: (0, 0)),
-            pl.BlockSpec((1, 3 * d), lambda i, j, s: (0, 0)),
-            pl.BlockSpec((3 * d, d), lambda i, j, s: (0, 0)),
-            pl.BlockSpec((1, d), lambda i, j, s: (0, 0)),
-        ],
+        grid=(bsz, li // t),
+        in_specs=_common_specs(bsz, num_a, lqa, d, li, lr, t),
         out_specs=[
-            pl.BlockSpec((1, num_a, 1, lqa, d),
+            pl.BlockSpec((1, num_a, t, lqa, d),
                          lambda i, j, s: (i, 0, j, 0, 0)),
-            pl.BlockSpec((1, num_a, 1, lqa, lr),
+            pl.BlockSpec((1, num_a, t, lqa, lr),
                          lambda i, j, s: (i, 0, j, 0, 0)),
         ],
     )
@@ -158,24 +339,73 @@ def _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, num_a, li, lqa, d), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, num_a, li, lqa, d),
+                                 _out_dtype(compute_dtype)),
             jax.ShapeDtypeStruct((bsz, num_a, li, lqa, lr), jnp.float32),
         ],
         interpret=interpret,
-    )(seed_arr,
-      cn.astype(jnp.float32), ce.astype(jnp.float32),
-      qn.astype(jnp.float32), qe.astype(jnp.float32),
-      c_mask.reshape(bsz, num_a, lqa, 1).astype(jnp.float32),
-      q_mask.reshape(bsz, li, 1, lr).astype(jnp.float32),
-      gamma.reshape(1, 3 * d).astype(jnp.float32),
-      beta.reshape(1, 3 * d).astype(jnp.float32),
-      w.astype(jnp.float32), b.reshape(1, d).astype(jnp.float32))
+    )(seed_arr, *_common_operands(cn, ce, qn, qe, c_mask, q_mask,
+                                  gamma, beta, w, b))
     return mixed, raw
 
 
+def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
+                     g_mixed, g_raw, scale, dropout_rate, seed,
+                     interpret=False, compute_dtype=jnp.bfloat16):
+    """Launch the backward kernel; returns gradients for
+    (cn, ce, qn, qe, gamma, beta, w, b)."""
+    bsz, num_a, lqa, d = cn.shape
+    _, li, lr, _ = qn.shape
+    t = _frames_per_cell(li)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    kernel = functools.partial(_bwd_kernel, scale=scale,
+                               dropout_rate=dropout_rate,
+                               compute_dtype=compute_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, li // t),
+        in_specs=_common_specs(bsz, num_a, lqa, d, li, lr, t) + [
+            pl.BlockSpec((1, num_a, t, lqa, d),
+                         lambda i, j, s: (i, 0, j, 0, 0)),
+            pl.BlockSpec((1, num_a, t, lqa, lr),
+                         lambda i, j, s: (i, 0, j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, num_a, lqa, d), lambda i, j, s: (i, 0, 0, 0)),
+            pl.BlockSpec((1, num_a, lqa, d), lambda i, j, s: (i, 0, 0, 0)),
+            pl.BlockSpec((1, t, lr, d), lambda i, j, s: (i, j, 0, 0)),
+            pl.BlockSpec((1, t, lr, d), lambda i, j, s: (i, j, 0, 0)),
+            pl.BlockSpec((1, 3 * d), lambda i, j, s: (0, 0)),
+            pl.BlockSpec((1, 3 * d), lambda i, j, s: (0, 0)),
+            pl.BlockSpec((3 * d, d), lambda i, j, s: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j, s: (0, 0)),
+        ],
+    )
+    gcn, gce, gqn, gqe, ggamma, gbeta, gw, gb = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, num_a, lqa, d), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, num_a, lqa, d), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, li, lr, d), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, li, lr, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((3 * d, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+    )(seed_arr, *_common_operands(cn, ce, qn, qe, c_mask, q_mask,
+                                  gamma, beta, w, b),
+      g_mixed.astype(jnp.float32), g_raw.astype(jnp.float32))
+    return (gcn, gce, gqn, gqe, ggamma.reshape(gamma.shape),
+            gbeta.reshape(beta.shape), gw, gb.reshape(b.shape))
+
+
 def reference_impl(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, scale):
-    """Pure-JAX equivalent (no dropout) — numerics oracle + custom-vjp
-    backward path."""
+    """Pure-JAX equivalent (no dropout) — numerics oracle + non-TPU
+    custom-vjp backward path."""
     s = jnp.einsum("bawd,bird->baiwr", cn, qn)
     s_mask = c_mask[:, :, None, :, None] * q_mask[:, None, :, None, :]
     masked = s - 1e10 * (1.0 - s_mask)
@@ -191,30 +421,53 @@ def reference_impl(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, scale):
     return mixed, masked
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def fused_qa_ctx_attention(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
-                           scale, compute_dtype=jnp.bfloat16):
-    """Pallas forward / rematerialized pure-JAX backward (eval & no-dropout
-    training path)."""
+                           seed, scale, compute_dtype=jnp.bfloat16,
+                           dropout_rate=0.0):
+    """Pallas forward + Pallas backward (TPU) / rematerialized pure-JAX
+    backward (interpret mode, dropout_rate == 0 only).
+
+    ``seed`` is a traced int32 scalar: the projection-dropout PRNG seed,
+    folded with the grid position per cell.  Ignored when
+    ``dropout_rate == 0`` — pass 0.
+    """
     return _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
-                           scale, dropout_rate=0.0, seed=0,
+                           scale, dropout_rate=dropout_rate, seed=seed,
                            interpret=jax.default_backend() != "tpu",
                            compute_dtype=compute_dtype)
 
 
-def _fused_fwd(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, scale,
-               compute_dtype):
+def _fused_fwd(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed,
+               scale, compute_dtype, dropout_rate):
     out = fused_qa_ctx_attention(cn, ce, qn, qe, c_mask, q_mask, gamma,
-                                 beta, w, b, scale, compute_dtype)
-    return out, (cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b)
+                                 beta, w, b, seed, scale, compute_dtype,
+                                 dropout_rate)
+    return out, (cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed)
 
 
-def _fused_bwd(scale, compute_dtype, residuals, g):
-    cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b = residuals
-    _, vjp = jax.vjp(
-        lambda *args: reference_impl(*args, scale), cn, ce, qn, qe,
-        c_mask, q_mask, gamma, beta, w, b)
-    return vjp(g)
+def _fused_bwd(scale, compute_dtype, dropout_rate, residuals, g):
+    on_tpu = jax.default_backend() == "tpu"
+    if dropout_rate > 0.0 and not on_tpu:
+        raise NotImplementedError(
+            "in-kernel dropout backward needs the TPU PRNG; non-TPU "
+            "callers must use the pure-JAX path when dropout is active")
+    cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed = residuals
+    g_mixed, g_raw = g
+    gcn, gce, gqn, gqe, ggamma, gbeta, gw, gb = _pallas_backward(
+        cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
+        g_mixed, g_raw, scale, dropout_rate, seed,
+        interpret=not on_tpu, compute_dtype=compute_dtype)
+    # cotangents MUST ride the primal dtypes: the kernel accumulates in f32,
+    # but under the bf16 policy cn/ce/qn/qe arrive bf16, and upstream
+    # transpose rules (lax.div in l2_normalize/_dropout) reject mixed dtypes
+    gcn, gce, gqn, gqe = (g.astype(p.dtype) for g, p in
+                          ((gcn, cn), (gce, ce), (gqn, qn), (gqe, qe)))
+    grads = (gcn, gce, gqn, gqe,
+             jnp.zeros_like(c_mask), jnp.zeros_like(q_mask),
+             ggamma, gbeta, gw, gb)
+    g_seed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return tuple(grads) + (g_seed,)
 
 
 fused_qa_ctx_attention.defvjp(_fused_fwd, _fused_bwd)

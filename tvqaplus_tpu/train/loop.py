@@ -107,7 +107,8 @@ class Trainer:
         self.n_params = count_parameters(self.state.params)
         self.scheduler = PlateauScheduler(cfg.lr, mode="max", factor=0.5,
                                           patience=10)
-        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.rng = jax.random.key(cfg.seed,
+                                  impl=getattr(cfg, "rng_impl", "rbg"))
         self.best_acc = 0.0
         self.start_epoch = 0
         if cfg.resume:

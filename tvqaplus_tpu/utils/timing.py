@@ -51,7 +51,13 @@ def timeit_host_synced(fn, n=20, warmup=2, trials=3):
 
 def compiled_flops(jitted, *args, **kwargs):
     """FLOP count of one call from XLA's compiled cost analysis, or None if
-    the backend doesn't expose it."""
+    the backend doesn't expose it.
+
+    CAUTION: XLA's cost analysis counts a ``lax.scan`` body ONCE, no matter
+    the trip count — analyzing a K-step scanned dispatch under-reports by
+    ~K.  Analyze the single-step program and multiply by K instead (the
+    round-1 bench divided a once-counted scan by K and reported 10x-low
+    FLOPs/MFU)."""
     try:
         compiled = jitted.lower(*args, **kwargs).compile()
         cost = compiled.cost_analysis()
