@@ -54,6 +54,34 @@ def host_sync(metrics):
     return float(np.asarray(jax.device_get(metrics["loss"])).ravel()[-1])
 
 
+def fused_kernel_flops(cfg, li, lr_sub, lr_vid):
+    """Analytic matmul FLOPs of the Pallas custom calls in ONE train step.
+
+    XLA's cost analysis reports 0 FLOPs for tpu_custom_call, so once the
+    attention + tri-bridge kernels moved in-kernel the compiled count lost
+    their share — this adds it back (matmul terms only; elementwise is
+    negligible at these shapes).  See ops/pallas_attention.py (forward:
+    s, a, proj; backward: recompute + gw/g_yd + g_p/gqe/gcn/gqn) and
+    ops/pallas_tri_bridge.py (forward: one 3D x D matmul; backward:
+    recompute + gw/g_yd)."""
+    if not cfg.use_pallas:
+        return 0
+    b, a, lqa, d = cfg.bsz, 5, cfg.max_qa_l, cfg.hsz
+    m = a * lqa
+    rows = b * li * m                         # total rows per stream
+    proj = 2 * rows * (3 * d) * d             # (rows,3D)x(3D,D)
+
+    def stream(lr):
+        attn = 2 * (2 * rows * d * lr)        # s + a matmuls
+        fwd = attn + proj
+        bwd = fwd + 2 * proj + attn           # recompute + gw/g_yd + 4 attn
+        return fwd + bwd
+
+    tri_fwd = proj
+    tri_bwd = tri_fwd + 2 * proj
+    return stream(lr_sub) + stream(lr_vid) + tri_fwd + tri_bwd
+
+
 def main():
     from tvqaplus_tpu.config import Config
     from tvqaplus_tpu.data.batching import StaticShapeSpec, collate_static
@@ -91,6 +119,9 @@ def main():
     flops_per_step = compiled_flops(
         trainer._train_step, trainer.state, single, trainer.rng,
         use_hard_negatives=False)
+    if flops_per_step:
+        flops_per_step += fused_kernel_flops(
+            cfg, li=50, lr_sub=cfg.max_sub_l, lr_vid=cfg.num_region)
 
     # compile + warmup
     for _ in range(WARMUP):

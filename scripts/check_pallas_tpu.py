@@ -114,26 +114,123 @@ def bench(b, a, li, lqa, lr, d, rate):
     args = make_inputs(b, a, li, lqa, lr, d)
     seed = jnp.int32(5)
 
+    def _scalars(g):
+        # reduce grads to scalars ON DEVICE: returning the raw (multi-MB)
+        # grad arrays makes the harness ship them through the axon tunnel
+        # every call (~1.5 ms/10 MB), swamping the device time being
+        # measured (a 3 ms kernel "benched" at 122 ms before this fix)
+        return tuple(jnp.sum(x.astype(jnp.float32)) for x in g)
+
     @jax.jit
     def step_pallas(*a):
-        return jax.grad(lambda *x: loss_of(*pa.fused_qa_ctx_attention(
-            *x, seed, 10.0, jnp.bfloat16, rate)), argnums=(0, 2, 8))(*a)
-
-    def ref_with_dropout(*a):
-        # XLA path with equivalent projection dropout (mask via threefry)
-        mixed, raw = pa.reference_impl(*a, scale=10.0)
-        return mixed, raw
+        return _scalars(jax.grad(
+            lambda *x: loss_of(*pa.fused_qa_ctx_attention(
+                *x, seed, 10.0, jnp.bfloat16, rate)),
+            argnums=(0, 2, 8))(*a))
 
     @jax.jit
     def step_xla(*a):
-        return jax.grad(lambda *x: loss_of(*ref_with_dropout(*x)),
-                        argnums=(0, 2, 8))(*a)
+        return _scalars(jax.grad(
+            lambda *x: loss_of(*pa.reference_impl(*x, scale=10.0)),
+            argnums=(0, 2, 8))(*a))
 
     tp = timeit_host_synced(lambda: step_pallas(*args), n=20)
     tx = timeit_host_synced(lambda: step_xla(*args), n=20)
     print(f"Li={li:4d} rate={rate}: fused fwd+bwd {tp:7.3f} ms | "
           f"pure-XLA (no dropout) {tx:7.3f} ms | speedup {tx / tp:.2f}x")
     return tp, tx
+
+
+def make_tri_inputs(b, a, li, lqa, d, seed=0):
+    rng = np.random.default_rng(seed)
+    f32 = np.float32
+    s = rng.standard_normal((b, a, li, lqa, d)).astype(f32)
+    v = rng.standard_normal((b, a, li, lqa, d)).astype(f32)
+    gin = (rng.standard_normal(3 * d) * 0.1 + 1.0).astype(f32)
+    bin_ = (rng.standard_normal(3 * d) * 0.1).astype(f32)
+    w = (rng.standard_normal((3 * d, d)) / np.sqrt(3 * d)).astype(f32)
+    bias = (rng.standard_normal(d) * 0.1).astype(f32)
+    gout = (rng.standard_normal(d) * 0.1 + 1.0).astype(f32)
+    bout = (rng.standard_normal(d) * 0.1).astype(f32)
+    return tuple(jnp.array(x) for x in
+                 (s, v, gin, bin_, w, bias, gout, bout))
+
+
+def check_tri_bridge():
+    """Tri-concat MLP-bridge kernel (ops/pallas_tri_bridge.py): Mosaic
+    parity at dropout=0, seed determinism, FD gradient check with dropout
+    (PRNG replay), and a fwd+bwd timing vs the pure-XLA formulation."""
+    from tvqaplus_tpu.ops import pallas_tri_bridge as tb
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    args = make_tri_inputs(4, 5, 10, 40, 128)
+    seed = jnp.zeros((), jnp.int32)
+
+    def f_pallas(*a):
+        return jnp.sum(tb.fused_tri_bridge(*a, seed, jnp.float32, 0.0) ** 2)
+
+    def f_ref(*a):
+        return jnp.sum(tb.reference_impl(*a) ** 2)
+
+    argnums = tuple(range(8))
+    vp, gp = jax.value_and_grad(f_pallas, argnums=argnums)(*args)
+    vr, gr = jax.value_and_grad(f_ref, argnums=argnums)(*args)
+    np.testing.assert_allclose(float(vp), float(vr), rtol=2e-4)
+    for x, y in zip(gp, gr):
+        np.testing.assert_allclose(np.array(x), np.array(y),
+                                   rtol=2e-3, atol=2e-3)
+    print("PASS tri-bridge dropout=0 fwd+bwd parity vs oracle")
+
+    rate = 0.35
+    out1 = tb.fused_tri_bridge(*args, jnp.int32(7), jnp.float32, rate)
+    out1b = tb.fused_tri_bridge(*args, jnp.int32(7), jnp.float32, rate)
+    out2 = tb.fused_tri_bridge(*args, jnp.int32(8), jnp.float32, rate)
+    assert np.array_equal(np.array(out1), np.array(out1b))
+    assert not np.allclose(np.array(out1), np.array(out2))
+
+    def loss(gin, sd):
+        a = list(args)
+        a[2] = gin
+        # MEAN-scaled: a sum-loss at these shapes is ~1e6, so its f32
+        # rounding (~0.1) swamps the FD quotient at eps=1e-2 — the check
+        # must keep the loss O(1) for the FD to resolve the gradient
+        return jnp.mean(tb.fused_tri_bridge(*a, sd, jnp.float32, rate) ** 2)
+
+    sd = jnp.int32(3)
+    g = jax.grad(loss)(args[2], sd)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        vdir = rng.standard_normal(args[2].shape).astype(np.float32)
+        vdir /= np.linalg.norm(vdir)
+        eps = 1e-2
+        fd = (float(loss(args[2] + eps * vdir, sd))
+              - float(loss(args[2] - eps * vdir, sd))) / (2 * eps)
+        an = float(jnp.vdot(g, vdir))
+        assert abs(fd - an) <= 2e-2 * max(1e-3, abs(fd)), (fd, an)
+    print("PASS tri-bridge dropout determinism + FD gradient (PRNG replay)")
+
+    jax.config.update("jax_default_matmul_precision", "default")
+    big = make_tri_inputs(16, 5, 50, 40, 128)
+
+    @jax.jit
+    def step_pallas(*a):
+        g = jax.grad(lambda *x: jnp.sum(tb.fused_tri_bridge(
+            *x, seed, jnp.bfloat16, 0.1).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 4))(*a)
+        return tuple(jnp.sum(x.astype(jnp.float32)) for x in g)
+
+    @jax.jit
+    def step_xla(*a):
+        g = jax.grad(lambda *x: jnp.sum(tb.reference_impl(
+            *x).astype(jnp.float32) ** 2), argnums=(0, 1, 4))(*a)
+        return tuple(jnp.sum(x.astype(jnp.float32)) for x in g)
+
+    tp = timeit_host_synced(lambda: step_pallas(*big), n=20)
+    tx = timeit_host_synced(lambda: step_xla(*big), n=20)
+    print(f"tri-bridge Li=50: fused fwd+bwd {tp:7.3f} ms | pure-XLA "
+          f"(no dropout) {tx:7.3f} ms | speedup {tx / tp:.2f}x")
+    assert tp <= tx * 1.05, "tri-bridge kernel slower than XLA"
+    print("PASS tri-bridge >= XLA at Li=50")
 
 
 def main():
@@ -148,6 +245,7 @@ def main():
     assert t50p <= t50x * 1.05, "kernel slower than XLA at Li=50"
     assert t100p < t100x, "kernel not faster than XLA at Li=100"
     print("PASS kernel >= XLA at Li=50 and faster at Li=100")
+    check_tri_bridge()
 
 
 if __name__ == "__main__":

@@ -25,9 +25,15 @@ from tvqaplus_tpu.ops.masking import safe_softmax
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):
-    """torch.nn.functional.normalize semantics: x / max(||x||, eps)."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    """torch.nn.functional.normalize semantics: x / max(||x||, eps).
+
+    Stats accumulate in f32 even for bf16 inputs (a bf16 sum of squares
+    over a few hundred dims loses ~1% relative accuracy); the result rides
+    the input dtype, and XLA fuses the conversions into the surrounding
+    elementwise chain."""
+    x32 = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(x32), axis=axis, keepdims=True))
+    return (x32 / jnp.maximum(norm, eps)).astype(x.dtype)
 
 
 def _dropout(x, rate, rng):

@@ -288,6 +288,86 @@ class DownProjection(nn.Module):
         return nn.relu(x + self.bias.astype(self.dtype))
 
 
+class _LNParams(nn.Module):
+    """Bare LayerNorm parameters (scale/bias) with flax-LayerNorm-equivalent
+    math exposed as a method — lets a parent module hand the raw params to a
+    Pallas kernel while keeping the standard {scale, bias} parameter tree."""
+    dim: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+
+    def __call__(self, x, dtype):
+        # replicates flax.linen.LayerNorm(dtype=dtype): f32 stats (fast
+        # variance clipped at 0), f32 normalize+affine, cast to dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(x32), -1, keepdims=True) - jnp.square(mean),
+            0.0)
+        y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+        return (y * self.scale + self.bias).astype(dtype)
+
+
+class _DenseParams(nn.Module):
+    """Bare Dense parameters (kernel/bias); see _LNParams."""
+    in_dim: int
+    out_dim: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_dim, self.out_dim))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+
+    def __call__(self, x, dtype):
+        return (x.astype(dtype) @ self.kernel.astype(dtype)
+                + self.bias.astype(dtype))
+
+
+class TriMLPBridge(nn.Module):
+    """``concat_fc`` as a fusable module: LN([s; v; s*v]) -> Dropout ->
+    Dense -> ReLU -> LN (reference stage.py:107-113 + the concat at
+    stage.py:300-302).
+
+    Parameter tree matches MLPBridge exactly (ln_in/fc/ln_out — checkpoint
+    and torch-interop compatible); params are exposed so the fused Pallas
+    kernel (ops/pallas_tri_bridge.py) can consume them directly.  The
+    unfused path reproduces MLPBridge-on-concat numerics.
+    """
+    hsz: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    def setup(self):
+        self.ln_in = _LNParams(3 * self.hsz)
+        self.fc = _DenseParams(3 * self.hsz, self.hsz)
+        self.ln_out = _LNParams(self.hsz)
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, s, v, *, train: bool):
+        dropout_active = train and self.dropout > 0.0
+        kernel_ok = self.use_pallas and s.ndim == 5 and (
+            not dropout_active or jax.default_backend() == "tpu")
+        if kernel_ok:
+            from tvqaplus_tpu.ops.pallas_tri_bridge import fused_tri_bridge
+            seed = jnp.zeros((), jnp.int32)
+            if dropout_active:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2 ** 31 - 1,
+                    dtype=jnp.int32)
+            return fused_tri_bridge(
+                s, v, self.ln_in.scale, self.ln_in.bias, self.fc.kernel,
+                self.fc.bias, self.ln_out.scale, self.ln_out.bias, seed,
+                self.dtype, self.dropout if dropout_active else 0.0)
+        x = jnp.concatenate([s, v, s * v], axis=-1)
+        x = self.ln_in(x, self.dtype)
+        x = self.drop(x, deterministic=not train)
+        x = nn.relu(self.fc(x, self.dtype))
+        return self.ln_out(x, self.dtype)
+
+
 class NormalizeScale(nn.Module):
     """L2-normalize then scale by a learned per-dim weight (reference
     model_utils.py:23-34; unused by STAGE but part of the surface)."""

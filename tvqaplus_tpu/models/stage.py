@@ -36,6 +36,7 @@ from tvqaplus_tpu.models.layers import (
     InputEmbedding,
     LinearWrapper,
     MLPBridge,
+    TriMLPBridge,
     StackedEncoder,
     mask_logits,
 )
@@ -117,7 +118,8 @@ class STAGE(nn.Module):
         if c.vfeat_flag:
             self.vid_fc = MLPBridge(c.bridge_hsz, c.dropout, dt)
         if c.sub_flag and c.vfeat_flag:
-            self.concat_fc = MLPBridge(c.hsz, c.dropout, dt)
+            self.concat_fc = TriMLPBridge(c.hsz, c.dropout, dt,
+                                          use_pallas=c.use_pallas)
         self.input_embedding = InputEmbedding(c.hsz, c.dropout, dt)
         self.input_encoder = StackedEncoder(
             c.input_encoder_n_blocks, c.input_encoder_n_conv,
@@ -235,10 +237,12 @@ class STAGE(nn.Module):
         # every encoder works on (..., L, D) with leading batch dims intact,
         # so data-parallel (B) and context-parallel (Li) shardings survive
         # the whole forward without GSPMD reshuffles.
-        # inputs may arrive bf16 (bandwidth-optimized upload); layer norms
-        # and normalization stats run in f32 regardless of compute dtype
+        # inputs ride their arrival dtype (bf16 bandwidth-optimized upload
+        # under the bf16 policy; f32 in parity tests) — a forced f32 cast
+        # here would materialize an extra full pass over the biggest
+        # tensors (profiled: ~0.6 ms/step at bench shapes)
         a_embed = self.base_encoder(
-            batch["qas_bert"].astype(jnp.float32), batch["qas_mask"],
+            batch["qas_bert"], batch["qas_mask"],
             self.bert_word_encoding_fc, train=train)
         a_embed = a_embed[:, :, None]                   # (B, A, 1, Lqa, h)
         a_mask = batch["qas_mask"][:, :, None]          # (B, A, 1, Lqa)
@@ -247,7 +251,7 @@ class STAGE(nn.Module):
         attended_sub_mask = attended_vid_mask = None
         if c.sub_flag:
             sub_embed = self.base_encoder(
-                batch["sub_bert"].astype(jnp.float32), batch["sub_mask"],
+                batch["sub_bert"], batch["sub_mask"],
                 self.bert_word_encoding_fc, train=train)
             sub_embed = sub_embed[:, None]              # (B, 1, Li, Ls, h)
             sub_mask = batch["sub_mask"][:, None]
@@ -257,8 +261,7 @@ class STAGE(nn.Module):
             out["sub_raw_s"], out["sub_normalized_s"] = sub_raw_s, sub_norm_s
 
         if c.vfeat_flag:
-            vid_embed = l2_normalize(
-                batch["vid"].astype(jnp.float32))       # (stage.py:256)
+            vid_embed = l2_normalize(batch["vid"])      # (stage.py:256)
             vid_embed = self.base_encoder(
                 vid_embed, batch["vid_mask"], self.vid_fc, train=train)
             vid_embed = vid_embed[:, None]              # (B, 1, Li, Lr, h)
@@ -270,9 +273,10 @@ class STAGE(nn.Module):
             out["vid_raw_s"], out["vid_normalized_s"] = vid_raw_s, vid_norm_s
 
         if c.sub_flag and c.vfeat_flag:
-            statement = jnp.concatenate(
-                [attended_sub, attended_vid, attended_sub * attended_vid], -1)
-            statement = self.concat_fc(statement, train=train)
+            # tri-concat + MLP bridge; with use_pallas the concat is never
+            # materialized (fused kernel, ops/pallas_tri_bridge.py)
+            statement = self.concat_fc(attended_sub, attended_vid,
+                                       train=train)
             statement_mask = attended_vid_mask
         elif c.sub_flag:
             statement, statement_mask = attended_sub, attended_sub_mask

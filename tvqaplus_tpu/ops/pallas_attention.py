@@ -61,12 +61,25 @@ def _keep_mask(shape, dropout_rate):
     return (u >= dropout_rate).astype(jnp.float32) * (1.0 / (1.0 - dropout_rate))
 
 
-def _frames_per_cell(li):
-    """Largest divisor of Li up to 10: each grid cell processes a block of
-    consecutive frames, amortizing per-cell launch/DMA latency (the per-frame
-    compute is ~1 us — a (B, Li) grid is latency-bound, measured 8 us/cell)."""
+def _frames_per_cell(li, m, lr, d, budget_bytes=12 * 1024 * 1024):
+    """Frame-block size T: each grid cell processes T consecutive frames,
+    amortizing per-cell launch latency AND merging T*M rows into single
+    MXU matmuls for the row-local projection chain.
+
+    Larger T = bigger matmuls but a bigger VMEM stack: the backward holds
+    several (T*M, 3D) f32 intermediates live (xhat/keep/yd/g_yd/gx), plus
+    per-frame softmax state.  Mosaic hard-fails past the 16 MB scoped-vmem
+    limit, so T is the largest divisor of Li <= 10 whose estimated backward
+    footprint fits the budget.  Forward and backward MUST use the same T —
+    the dropout PRNG draw shape depends on it (stream replay)."""
+    def footprint(t):
+        rows = t * m
+        return 4 * (5 * rows * 3 * d      # (T*M, 3D) f32 chain
+                    + 4 * rows * d        # (T*M, D) rows/grads
+                    + 5 * rows * lr       # per-frame softmax state
+                    + 2 * t * lr * d)     # qn/qe blocks
     for t in range(min(10, li), 0, -1):
-        if li % t == 0:
+        if li % t == 0 and footprint(t) <= budget_bytes:
             return t
     return 1
 
@@ -78,18 +91,11 @@ def _out_dtype(compute_dtype):
     return jnp.float32 if compute_dtype == jnp.float32 else jnp.bfloat16
 
 
-def _frame_fwd(cn, ce, c_mask, qn, qe, q_mask, gamma, beta, w_ref, bias,
-               scale, dropout_rate, ct):
-    """Shared per-frame forward on answer-merged (M, .) rows; returns every
-    intermediate the backward needs.  The 5 answers are MERGED into the
-    matmul row axis (a leading-dim collapse Mosaic supports): one
-    (A*Lqa, .) op chain instead of 5 unrolled small ones.
-
-    The dropout draw order here defines the PRNG stream the backward
-    replays: exactly one (M, 3D) draw per frame, in frame order."""
-    m, d = cn.shape
-    inv3d = 1.0 / (3 * d)
-
+def _attn_frame_fwd(cn, qn, qe, c_mask, q_mask, scale, ct):
+    """Per-frame structured attention on answer-merged (M, .) rows; returns
+    the intermediates the backward needs.  The 5 answers are MERGED into
+    the matmul row axis (a leading-dim collapse Mosaic supports): one
+    (A*Lqa, .) op chain instead of 5 unrolled small ones."""
     s = jax.lax.dot_general(
         cn, qn, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)             # (M, Lr)
@@ -106,28 +112,45 @@ def _frame_fwd(cn, ce, c_mask, qn, qe, q_mask, gamma, beta, w_ref, bias,
     a = jax.lax.dot_general(
         p.astype(ct), qe, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # (M, D)
+    return dict(s_mask=s_mask, masked=masked, zc=zc, p0=p0, p=p, a=a)
 
-    # LayerNorm over the virtual concat [ce; a; ce*a] (3D wide)
-    cea = ce * a
-    mean = (jnp.sum(ce, -1, keepdims=True)
-            + jnp.sum(a, -1, keepdims=True)
+
+def _proj_fwd(ce_rows, a_rows, gamma, beta, w_ref, bias, scale_unused,
+              dropout_rate, ct):
+    """LN([ce; a; ce*a]) -> dropout -> dense on FRAME-MERGED rows: the whole
+    frame block's rows go through ONE (T*M, 3D) x (3D, D) matmul instead of
+    T small ones (per-frame matmul latency dominated the round-2 kernel:
+    merging frames into rows cut the per-cell op count ~5x).
+
+    Draws exactly ONE (rows, 3D) keep mask from the TPU PRNG stream when
+    dropout is active — forward and backward must call in the same order."""
+    rows, d = ce_rows.shape
+    inv3d = 1.0 / (3 * d)
+    cea = ce_rows * a_rows
+    mean = (jnp.sum(ce_rows, -1, keepdims=True)
+            + jnp.sum(a_rows, -1, keepdims=True)
             + jnp.sum(cea, -1, keepdims=True)) * inv3d
-    var = (jnp.sum(jnp.square(ce), -1, keepdims=True)
-           + jnp.sum(jnp.square(a), -1, keepdims=True)
+    var = (jnp.sum(jnp.square(ce_rows), -1, keepdims=True)
+           + jnp.sum(jnp.square(a_rows), -1, keepdims=True)
            + jnp.sum(jnp.square(cea), -1, keepdims=True)) * inv3d \
         - jnp.square(mean)
     inv_std = jax.lax.rsqrt(var + LN_EPS)
-
-    xhat = (jnp.concatenate([ce, a, cea], axis=-1) - mean) * inv_std
-    y = xhat * gamma + beta                             # (M, 3D)
-    keep = _keep_mask((m, 3 * d), dropout_rate) if dropout_rate > 0.0 else None
+    xhat = (jnp.concatenate([ce_rows, a_rows, cea], axis=-1)
+            - mean) * inv_std                            # (rows, 3D)
+    y = xhat * gamma + beta
+    keep = _keep_mask((rows, 3 * d), dropout_rate) \
+        if dropout_rate > 0.0 else None
     yd = y * keep if keep is not None else y
     out = jax.lax.dot_general(
         yd.astype(ct), w_ref[...].astype(ct), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bias      # (M, D)
-    return dict(s_mask=s_mask, masked=masked, zc=zc, p0=p0, p=p, a=a,
-                cea=cea, inv_std=inv_std, xhat=xhat, keep=keep, yd=yd,
-                out=out)
+        preferred_element_type=jnp.float32) + bias       # (rows, D)
+    return dict(inv_std=inv_std, xhat=xhat, keep=keep, yd=yd, out=out)
+
+
+def _stack_rows(per_frame):
+    """Concatenate per-frame (M, .) arrays along rows -> (T*M, .)."""
+    return per_frame[0] if len(per_frame) == 1 else \
+        jnp.concatenate(per_frame, axis=0)
 
 
 def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
@@ -160,13 +183,23 @@ def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
     ce = ce_ref[0].reshape(m, d).astype(jnp.float32)
     c_mask = cm_ref[0].reshape(m, 1).astype(jnp.float32)
 
-    for t in range(t_frames):  # static unroll over the frame block
-        f = _frame_fwd(cn, ce, c_mask,
-                       qn_ref[0, t].astype(ct), qe_ref[0, t].astype(ct),
-                       qm_ref[0, t].astype(jnp.float32),
-                       gamma, beta, w_ref, bias, scale, dropout_rate, ct)
+    frames = []
+    for t in range(t_frames):  # static unroll: per-frame attention only
+        f = _attn_frame_fwd(cn, qn_ref[0, t].astype(ct),
+                            qe_ref[0, t].astype(ct),
+                            c_mask, qm_ref[0, t].astype(jnp.float32),
+                            scale, ct)
+        frames.append(f)
         raw_ref[0, :, t] = f["masked"].reshape(a_dim, lqa, -1)
-        mixed_ref[0, :, t] = jnp.maximum(f["out"], 0.0).astype(
+
+    # everything row-local (LN + dropout + projection) runs frame-MERGED
+    a_rows = _stack_rows([f["a"] for f in frames])       # (T*M, D)
+    ce_rows = _stack_rows([ce] * t_frames)
+    pf = _proj_fwd(ce_rows, a_rows, gamma, beta, w_ref, bias, scale,
+                   dropout_rate, ct)
+    for t in range(t_frames):
+        out_t = pf["out"][t * m:(t + 1) * m]
+        mixed_ref[0, :, t] = jnp.maximum(out_t, 0.0).astype(
             mixed_ref.dtype).reshape(a_dim, lqa, d)
 
 
@@ -213,46 +246,57 @@ def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
     c_mask = cm_ref[0].reshape(m, 1).astype(jnp.float32)
 
     gcn_acc = jnp.zeros((m, d), jnp.float32)
-    gce_acc = jnp.zeros((m, d), jnp.float32)
     ggamma_acc = jnp.zeros((1, 3 * d), jnp.float32)
     gbeta_acc = jnp.zeros((1, 3 * d), jnp.float32)
-    gw_acc = jnp.zeros((3 * d, d), jnp.float32)
     gb_acc = jnp.zeros((1, d), jnp.float32)
 
-    for t in range(t_frames):  # static unroll, same PRNG order as forward
+    # recompute: per-frame attention, then the frame-MERGED projection
+    # (replays the PRNG stream in the forward's draw order: one merged draw)
+    frames = []
+    for t in range(t_frames):
+        frames.append(_attn_frame_fwd(
+            cn, qn_ref[0, t].astype(ct), qe_ref[0, t].astype(ct),
+            c_mask, qm_ref[0, t].astype(jnp.float32), scale, ct))
+    a_rows = _stack_rows([f["a"] for f in frames])       # (T*M, D)
+    ce_rows = _stack_rows([ce] * t_frames)
+    pf = _proj_fwd(ce_rows, a_rows, gamma, beta, w_ref, bias, scale,
+                   dropout_rate, ct)
+
+    # merged projection backward (one matmul pair for the whole block)
+    g_mixed_rows = _stack_rows(
+        [gmix_ref[0, :, t].reshape(m, d).astype(jnp.float32)
+         for t in range(t_frames)])                      # (T*M, D)
+    g_out = g_mixed_rows * (pf["out"] > 0.0).astype(jnp.float32)   # relu
+    gb_acc = gb_acc + jnp.sum(g_out, axis=0, keepdims=True)
+    gw_acc = jax.lax.dot_general(
+        pf["yd"].astype(ct), g_out.astype(ct), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (3D, D)
+    g_yd = jax.lax.dot_general(
+        g_out.astype(ct), w_ref[...].astype(ct), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (T*M, 3D)
+    g_y = g_yd * pf["keep"] if pf["keep"] is not None else g_yd
+    xhat = pf["xhat"]
+    ggamma_acc = ggamma_acc + jnp.sum(g_y * xhat, 0, keepdims=True)
+    gbeta_acc = gbeta_acc + jnp.sum(g_y, 0, keepdims=True)
+
+    # LayerNorm stats backward over the (virtual-concat) 3D axis, merged
+    gxh = g_y * gamma                                    # (T*M, 3D)
+    m1 = jnp.sum(gxh, -1, keepdims=True) * inv3d
+    m2 = jnp.sum(gxh * xhat, -1, keepdims=True) * inv3d
+    gx = pf["inv_std"] * (gxh - m1 - xhat * m2)          # (T*M, 3D)
+    gx0, gx1, gx2 = gx[:, :d], gx[:, d:2 * d], gx[:, 2 * d:]
+    g_ce_rows = gx0 + gx2 * a_rows                       # (T*M, D)
+    g_a_rows = gx1 + gx2 * ce_rows
+    gce_acc = jnp.sum(g_ce_rows.reshape(t_frames, m, d), axis=0)
+
+    # per-frame attention backward
+    for t in range(t_frames):
+        f = frames[t]
         qn = qn_ref[0, t].astype(ct)
         qe = qe_ref[0, t].astype(ct)
-        f = _frame_fwd(cn, ce, c_mask, qn, qe,
-                       qm_ref[0, t].astype(jnp.float32),
-                       gamma, beta, w_ref, bias, scale, dropout_rate, ct)
-        g_mixed = gmix_ref[0, :, t].reshape(m, d).astype(jnp.float32)
+        g_a = g_a_rows[t * m:(t + 1) * m]
         g_raw = graw_ref[0, :, t].reshape(m, lr)
 
-        g_out = g_mixed * (f["out"] > 0.0).astype(jnp.float32)     # relu
-        gb_acc = gb_acc + jnp.sum(g_out, axis=0, keepdims=True)
-        gw_acc = gw_acc + jax.lax.dot_general(
-            f["yd"].astype(ct), g_out.astype(ct), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                    # (3D, D)
-        g_yd = jax.lax.dot_general(
-            g_out.astype(ct), w_ref[...].astype(ct),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                    # (M, 3D)
-        g_y = g_yd * f["keep"] if f["keep"] is not None else g_yd
-        xhat = f["xhat"]
-        ggamma_acc = ggamma_acc + jnp.sum(g_y * xhat, 0, keepdims=True)
-        gbeta_acc = gbeta_acc + jnp.sum(g_y, 0, keepdims=True)
-
-        # LayerNorm stats backward over the (virtual-concat) 3D axis
-        gxh = g_y * gamma                                          # (M, 3D)
-        m1 = jnp.sum(gxh, -1, keepdims=True) * inv3d
-        m2 = jnp.sum(gxh * xhat, -1, keepdims=True) * inv3d
-        gx = f["inv_std"] * (gxh - m1 - xhat * m2)                 # (M, 3D)
-        gx0, gx1, gx2 = gx[:, :d], gx[:, d:2 * d], gx[:, 2 * d:]
-        a = f["a"]
-        g_ce = gx0 + gx2 * a
-        g_a = gx1 + gx2 * ce
-
-        # attention backward
         g_p = jax.lax.dot_general(
             g_a.astype(ct), qe, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                    # (M, Lr)
@@ -267,7 +311,6 @@ def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
         gcn_acc = gcn_acc + jax.lax.dot_general(
             g_s.astype(ct), qn, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                    # (M, D)
-        gce_acc = gce_acc + g_ce
         gqn_ref[0, t] = jax.lax.dot_general(
             g_s.astype(ct), cn, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                    # (Lr, D)
@@ -296,10 +339,12 @@ def _common_specs(bsz, num_a, lqa, d, li, lr, t):
 
 
 def _common_operands(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b):
+    """Embeddings ride their NATIVE dtype into the kernel (bf16 under the
+    bf16 policy — halves the dominant HBM reads; the kernel upcasts in
+    VMEM).  Masks/params are small — normalize to f32."""
     bsz, num_a, lqa, d = cn.shape
     _, li, lr, _ = qn.shape
-    return (cn.astype(jnp.float32), ce.astype(jnp.float32),
-            qn.astype(jnp.float32), qe.astype(jnp.float32),
+    return (cn, ce, qn, qe,
             c_mask.reshape(bsz, num_a, lqa, 1).astype(jnp.float32),
             q_mask.reshape(bsz, li, 1, lr).astype(jnp.float32),
             gamma.reshape(1, 3 * d).astype(jnp.float32),
@@ -318,7 +363,7 @@ def _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
     """
     bsz, num_a, lqa, d = cn.shape
     _, li, lr, _ = qn.shape
-    t = _frames_per_cell(li)
+    t = _frames_per_cell(li, num_a * lqa, lr, d)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     kernel = functools.partial(_fwd_kernel, scale=scale,
@@ -356,7 +401,7 @@ def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
     (cn, ce, qn, qe, gamma, beta, w, b)."""
     bsz, num_a, lqa, d = cn.shape
     _, li, lr, _ = qn.shape
-    t = _frames_per_cell(li)
+    t = _frames_per_cell(li, num_a * lqa, lr, d)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     kernel = functools.partial(_bwd_kernel, scale=scale,
@@ -398,7 +443,7 @@ def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
         ],
     )(seed_arr, *_common_operands(cn, ce, qn, qe, c_mask, q_mask,
                                   gamma, beta, w, b),
-      g_mixed.astype(jnp.float32), g_raw.astype(jnp.float32))
+      g_mixed, g_raw.astype(jnp.float32))
     return (gcn, gce, gqn, gqe, ggamma.reshape(gamma.shape),
             gbeta.reshape(beta.shape), gw, gb.reshape(b.shape))
 
