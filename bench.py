@@ -79,7 +79,17 @@ def fused_kernel_flops(cfg, li, lr_sub, lr_vid):
 
     tri_fwd = proj
     tri_bwd = tri_fwd + 2 * proj
-    return stream(lr_sub) + stream(lr_vid) + tri_fwd + tri_bwd
+
+    def encoder(rows):
+        # ops/pallas_encoder.py: 2 pointwise (rows,D)x(D,D) matmuls fwd;
+        # backward = recompute + per-conv gw/g_c matmuls
+        fwd = 2 * (2 * rows * d * d)
+        bwd = fwd + 2 * (2 * rows * d * d + 2 * rows * d * d)
+        return fwd + bwd
+
+    enc = encoder(rows)   # cls_encoder only (input_encoder stays on XLA —
+    #                       its k=7 sites lose with the kernel, see stage.py)
+    return stream(lr_sub) + stream(lr_vid) + tri_fwd + tri_bwd + enc
 
 
 def main():

@@ -233,6 +233,108 @@ def check_tri_bridge():
     print("PASS tri-bridge >= XLA at Li=50")
 
 
+def check_encoder():
+    """Fused QANet encoder-block kernel (ops/pallas_encoder.py): Mosaic
+    parity at dropout=0, dropout determinism + FD grad, and a fwd+bwd
+    timing vs XLA at the cls-encoder bench shapes ((16, 250, 40, 128))."""
+    from tests.test_pallas_encoder import make_inputs as mk_small
+    from tvqaplus_tpu.ops import pallas_encoder as pe_mod
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    x, pe, p = mk_small()
+    k = 5
+
+    def loss_k(x, p):
+        return jnp.mean(pe_mod.fused_encoder_block(
+            x, pe, p, jnp.int32(0), k, jnp.float32, 0.0) ** 2)
+
+    def loss_r(x, p):
+        return jnp.mean(pe_mod.reference_impl(x, pe, p, k) ** 2)
+
+    (vk, gk), (vr, gr) = (jax.value_and_grad(f, argnums=(0, 1))(x, p)
+                          for f in (loss_k, loss_r))
+    np.testing.assert_allclose(float(vk), float(vr), rtol=2e-4)
+    np.testing.assert_allclose(np.array(gk[0]), np.array(gr[0]),
+                               rtol=2e-3, atol=2e-3)
+    for key in p:
+        np.testing.assert_allclose(np.array(gk[1][key]),
+                                   np.array(gr[1][key]),
+                                   rtol=2e-3, atol=2e-3, err_msg=key)
+    print("PASS encoder dropout=0 fwd+bwd parity vs oracle")
+
+    rate = 0.35
+    o1 = pe_mod.fused_encoder_block(x, pe, p, jnp.int32(7), k,
+                                    jnp.float32, rate)
+    o1b = pe_mod.fused_encoder_block(x, pe, p, jnp.int32(7), k,
+                                     jnp.float32, rate)
+    o2 = pe_mod.fused_encoder_block(x, pe, p, jnp.int32(8), k,
+                                    jnp.float32, rate)
+    assert np.array_equal(np.array(o1), np.array(o1b))
+    assert not np.allclose(np.array(o1), np.array(o2))
+
+    # FD-probe pw0: downstream of the in-kernel dropout (replay-sensitive)
+    # with a large gradient — tiny-magnitude probes (e.g. ln0_s, |g|~3e-3)
+    # sit at the f32 FD noise/truncation floor and false-alarm
+    def loss_d(pw0, sd):
+        pp = dict(p, pw0=pw0)
+        return jnp.mean(pe_mod.fused_encoder_block(
+            x, pe, pp, sd, k, jnp.float32, rate) ** 2)
+
+    sd = jnp.int32(3)
+    g = jax.grad(loss_d)(p["pw0"], sd)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        vdir = rng.standard_normal(p["pw0"].shape).astype(np.float32)
+        vdir /= np.linalg.norm(vdir)
+        eps = 1e-2
+        fd = (float(loss_d(p["pw0"] + eps * vdir, sd))
+              - float(loss_d(p["pw0"] - eps * vdir, sd))) / (2 * eps)
+        an = float(jnp.vdot(g, vdir))
+        assert abs(fd - an) <= 2e-2 * max(1e-2, abs(fd)), (fd, an)
+    print("PASS encoder dropout determinism + FD gradient (PRNG replay)")
+
+    jax.config.update("jax_default_matmul_precision", "default")
+    rng = np.random.default_rng(0)
+    xb = jnp.array(rng.standard_normal((16, 250, 40, 128)).astype(
+        np.float32))
+    peb = jnp.array(rng.standard_normal((40, 128)).astype(np.float32) * 0.1)
+    pb = {}
+    for i in (0, 1):
+        pb[f"ln{i}_s"] = jnp.ones(128)
+        pb[f"ln{i}_b"] = jnp.zeros(128)
+        pb[f"dw{i}"] = jnp.array(
+            (rng.standard_normal((5, 128)) * 0.3).astype(np.float32))
+        pb[f"dwb{i}"] = jnp.zeros(128)
+        pb[f"pw{i}"] = jnp.array(
+            (rng.standard_normal((128, 128)) / 11.3).astype(np.float32))
+        pb[f"pwb{i}"] = jnp.zeros(128)
+    pb["lnf_s"] = jnp.ones(128)
+    pb["lnf_b"] = jnp.zeros(128)
+
+    @jax.jit
+    def step_pallas(x, p):
+        g = jax.grad(lambda x, p: jnp.mean(pe_mod.fused_encoder_block(
+            x, peb, p, jnp.int32(0), 5, jnp.bfloat16, 0.1).astype(
+                jnp.float32) ** 2), argnums=(0, 1))(x, p)
+        return (jnp.sum(g[0].astype(jnp.float32)),
+                jnp.sum(g[1]["pw0"]))
+
+    @jax.jit
+    def step_xla(x, p):
+        g = jax.grad(lambda x, p: jnp.mean(pe_mod.reference_impl(
+            x.astype(jnp.bfloat16), peb, p, 5).astype(jnp.float32) ** 2),
+            argnums=(0, 1))(x, p)
+        return (jnp.sum(g[0].astype(jnp.float32)),
+                jnp.sum(g[1]["pw0"]))
+
+    tp = timeit_host_synced(lambda: step_pallas(xb, pb), n=20)
+    tx = timeit_host_synced(lambda: step_xla(xb, pb), n=20)
+    print(f"encoder (16,250,40,128): fused fwd+bwd {tp:7.3f} ms | "
+          f"pure-XLA {tx:7.3f} ms | speedup {tx / tp:.2f}x")
+    assert tp <= tx * 1.05, "encoder kernel slower than XLA"
+    print("PASS encoder >= XLA at cls shapes")
+
+
 def main():
     assert jax.default_backend() == "tpu", "run on the TPU host"
     small = make_inputs(4, 5, 8, 40, 25, 128)
@@ -246,6 +348,7 @@ def main():
     assert t100p < t100x, "kernel not faster than XLA at Li=100"
     print("PASS kernel >= XLA at Li=50 and faster at Li=100")
     check_tri_bridge()
+    check_encoder()
 
 
 if __name__ == "__main__":

@@ -105,7 +105,7 @@ def test_encoder_block_residual_structure():
     rng = np.random.default_rng(3)
     x = jnp.array(rng.standard_normal((3, 11, 16)), jnp.float32)
     mask = jnp.ones((3, 11))
-    blk = EncoderBlock(n_conv=2, kernel_size=7, num_heads=0)
+    blk = EncoderBlock(16, n_conv=2, kernel_size=7, num_heads=0)
     params = blk.init(jax.random.PRNGKey(0), x, mask, train=False)
     y = blk.apply(params, x, mask, train=False)
     assert y.shape == x.shape
@@ -116,7 +116,7 @@ def test_encoder_block_residual_structure():
 def test_encoder_block_with_heads():
     x = jnp.ones((2, 6, 16))
     mask = jnp.ones((2, 6))
-    blk = EncoderBlock(n_conv=2, kernel_size=5, num_heads=4)
+    blk = EncoderBlock(16, n_conv=2, kernel_size=5, num_heads=4)
     params = blk.init(jax.random.PRNGKey(0), x, mask, train=False)
     assert blk.apply(params, x, mask, train=False).shape == x.shape
 

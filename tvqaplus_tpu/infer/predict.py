@@ -39,12 +39,18 @@ def spans_to_seconds(st, ed, first_img_id, py2_offset_div=False,
 
 
 def get_att_predictions(scores, words, object_word_ids, qids, vid_names,
-                        img_indices, boxes, start_indices, score_thd=0.2):
+                        img_indices, boxes, start_indices, score_thd=0.2,
+                        scores_local=False, li_total=None):
     """Host-side grounding records (reference get_att_prediction,
     stage.py:748-806).
 
     Args:
-      scores: np (B, 5, Li, Lqa, Lr) raw cosine scores.
+      scores: np (B, 5, Li, Lqa, Lr) raw cosine scores — or, with
+        ``scores_local=True``, (B, 5, F, Lqa, Lr) already gathered at the
+        annotated-frame window [anno_st, anno_st + F) on the device (the
+        serving path: shipping only the window cuts the device->host
+        transfer ~Li/F x); ``li_total`` is then the full frame count for
+        the original out-of-range guard.
       words: np (B, 5, Lqa) word ids.
       object_word_ids: set of vocab ids that require boxes.
       img_indices: per-example list of 1-indexed image ids.
@@ -54,6 +60,7 @@ def get_att_predictions(scores, words, object_word_ids, qids, vid_names,
       list of {str(ans_idx): [record]} dicts, one per example.
     """
     object_word_ids = set(int(w) for w in object_word_ids)
+    n_frames_total = li_total if scores_local else scores.shape[2]
     att_predictions = []
     for b in range(len(scores)):
         start_idx = int(start_indices[b])
@@ -64,9 +71,10 @@ def get_att_predictions(scores, words, object_word_ids, qids, vid_names,
             cur_words = words[b, ans_idx].tolist()
             for img_local in range(len(ex_boxes)):
                 img_global = img_local + start_idx
-                if img_global >= scores.shape[2]:
+                if img_global >= n_frames_total:
                     continue
-                cur_img_scores = scores[b, ans_idx, img_global]  # (Lqa, Lr)
+                cur_img_scores = scores[
+                    b, ans_idx, img_local if scores_local else img_global]
                 cur_img_boxes = ex_boxes[img_local]
                 for word_idx, w in enumerate(cur_words):
                     if w not in object_word_ids:
@@ -100,21 +108,29 @@ class InferenceRunner:
         self.params = params
         self.mesh = mesh
 
-        def infer_step(params, batch, with_grounding):
+        def infer_step(params, batch, with_grounding, f_max):
             out = model.apply({"params": params}, batch, train=False)
             pred_ids = jnp.argmax(out["answer_scores"], axis=-1)   # (B,)
             t_probs = safe_softmax(out["t_scores"], axis=2)        # (B,A,Li,2)
             st, ed, val = spans.find_max_pair(t_probs[..., 0],
                                               t_probs[..., 1])    # (B, A)
             result = {"pred_ids": pred_ids, "span_st": st, "span_ed": ed}
-            # the raw score tensor is large (B,A,Li,Lqa,Lr); only ship it to
-            # the host when grounding records are actually requested
+            # the raw score tensor is large (B,A,Li,Lqa,Lr); grounding
+            # records only read the annotated-frame window, so gather it
+            # ON DEVICE and ship (B,A,F,Lqa,Lr) instead — F (bucketed max
+            # annotated frames in the batch) is typically Li/10th of Li
             if with_grounding and "vid_raw_s" in out:
-                result["vid_raw_s"] = out["vid_raw_s"]
+                raw = out["vid_raw_s"]
+                idx = batch["anno_st"].astype(jnp.int32)[:, None] \
+                    + jnp.arange(f_max)                           # (B, F)
+                idx = jnp.minimum(idx, raw.shape[2] - 1)  # clamp; the host
+                # guard (img_global >= Li) skips clamped rows
+                result["vid_raw_anno"] = jnp.take_along_axis(
+                    raw, idx[:, None, :, None, None], axis=2)
             return result
 
-        self._infer_step = jax.jit(infer_step,
-                                   static_argnames=("with_grounding",))
+        self._infer_step = jax.jit(
+            infer_step, static_argnames=("with_grounding", "f_max"))
 
     def run(self, dataset, mode="valid", object_word_ids=(), debug=False):
         from tvqaplus_tpu.data.pipeline import DataPipeline
@@ -127,8 +143,15 @@ class InferenceRunner:
         predictions = {"ts_answer": {}, "raw_bbox": []}
         with_grounding = bool(object_word_ids) and self.cfg.vfeat_flag
         for batch_idx, (batch, meta, _) in enumerate(pipeline):
+            li = batch["ts_mask"].shape[1]     # this bucket's frame axis
+            # bucketed annotated-window size (multiple of 4 -> few jit
+            # variants) for the device-side gather of the grounding scores
+            f_need = max((len(bx) for bx in meta["boxes"] if bx),
+                         default=0)
+            f_max = min(li, -(-max(f_need, 1) // 4) * 4)
             out = self._infer_step(self.params, batch,
-                                   with_grounding=with_grounding)
+                                   with_grounding=with_grounding,
+                                   f_max=f_max)
             out = jax.device_get(out)
             ex_mask = np.asarray(jax.device_get(batch["ex_mask"]))
             n = int(ex_mask.sum())
@@ -136,15 +159,15 @@ class InferenceRunner:
             span_st = np.asarray(out["span_st"])
             span_ed = np.asarray(out["span_ed"])
 
-            if "vid_raw_s" in out and any(
+            if "vid_raw_anno" in out and any(
                     bx is not None for bx in meta["boxes"]):
                 words = np.asarray(jax.device_get(batch["qas"]))
                 anno_st = np.asarray(jax.device_get(batch["anno_st"]))
                 att = get_att_predictions(
-                    np.asarray(out["vid_raw_s"])[:n], words[:n],
+                    np.asarray(out["vid_raw_anno"])[:n], words[:n],
                     object_word_ids, meta["qid"][:n], meta["vid_name"][:n],
                     meta["image_indices"][:n], meta["boxes"][:n],
-                    anno_st[:n])
+                    anno_st[:n], scores_local=True, li_total=li)
                 predictions["raw_bbox"].extend(att)
 
             for j in range(n):

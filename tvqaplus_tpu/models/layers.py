@@ -176,33 +176,84 @@ class MultiHeadedAttention(nn.Module):
 
 
 class EncoderBlock(nn.Module):
-    """QANet-style conv encoder block (reference encoder.py:9-52)."""
+    """QANet-style conv encoder block (reference encoder.py:9-52).
+
+    Params are explicit (same tree as the original compact formulation —
+    ln_i / conv_i{depthwise, depthwise_bias, pointwise} / final_ln;
+    checkpoint- and torch-interop-compatible) so the fused Pallas kernel
+    (ops/pallas_encoder.py) can consume them directly.  The fused path
+    covers the default surface (n_conv=2, num_heads=0); other configs run
+    the unfused module chain.
+    """
+    hsz: int
     n_conv: int = 2
     kernel_size: int = 7
     num_heads: int = 0
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
-    @nn.compact
+    def setup(self):
+        d = self.hsz
+        # list attrs name children ln_0/ln_1/..., conv_0/conv_1/...
+        self.ln = [_LNParams(d) for _ in range(self.n_conv)]
+        self.conv = [_DSConvParams(d, d, self.kernel_size)
+                     for _ in range(self.n_conv)]
+        self.final_ln = _LNParams(d)
+        self.pos = PositionEncoding(dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+        if self.num_heads:
+            self.attn_ln = _LNParams(d)
+            self.attn = MultiHeadedAttention(self.num_heads, self.dropout,
+                                             dtype=self.dtype)
+
+    def _fused(self, x, *, train: bool):
+        from tvqaplus_tpu.ops.pallas_encoder import fused_encoder_block
+        l, d = x.shape[-2:]
+        lead = x.shape[:-2]
+        xg = x.reshape(lead[0], -1, l, d)               # (B, G, L, D)
+        pe = sinusoid_table(l, d)
+        params = {}
+        for i in (0, 1):
+            params[f"ln{i}_s"] = self.ln[i].scale
+            params[f"ln{i}_b"] = self.ln[i].bias
+            params[f"dw{i}"] = self.conv[i].depthwise
+            params[f"dwb{i}"] = self.conv[i].depthwise_bias
+            params[f"pw{i}"] = self.conv[i].pointwise.kernel
+            params[f"pwb{i}"] = self.conv[i].pointwise.bias
+        params["lnf_s"] = self.final_ln.scale
+        params["lnf_b"] = self.final_ln.bias
+        dropout_active = train and self.dropout > 0.0
+        seed = jnp.zeros((), jnp.int32)
+        if dropout_active:
+            seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                      2 ** 31 - 1, dtype=jnp.int32)
+        out = fused_encoder_block(
+            xg, pe, params, seed, self.kernel_size, self.dtype,
+            self.dropout if dropout_active else 0.0)
+        return out.reshape(lead + (l, d))
+
     def __call__(self, x, mask=None, *, train: bool):
-        out = PositionEncoding(dtype=self.dtype, name="pos")(x)
+        dropout_active = train and self.dropout > 0.0
+        if (self.use_pallas and self.num_heads == 0 and self.n_conv == 2
+                and x.ndim >= 3
+                and (not dropout_active
+                     or jax.default_backend() == "tpu")):
+            return self._fused(x, train=train)
+        out = self.pos(x)
         for i in range(self.n_conv):
             residual = out
-            out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=f"ln_{i}")(out)
+            out = self.ln[i](out, self.dtype)
             if i % 2 == 0:  # dropout on even conv layers only (encoder.py:41)
-                out = nn.Dropout(self.dropout, deterministic=not train)(out)
-            out = DepthwiseSeparableConv(
-                out.shape[-1], self.kernel_size, relu=True, dtype=self.dtype,
-                name=f"conv_{i}")(out)
+                out = self.drop(out, deterministic=not train)
+            out = self.conv[i](out, self.dtype)
             out = out + residual
         if self.num_heads:
             residual = out
-            out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="attn_ln")(out)
-            out = MultiHeadedAttention(
-                self.num_heads, self.dropout, dtype=self.dtype,
-                name="attn")(out, mask, train=train)
+            out = self.attn_ln(out, self.dtype)
+            out = self.attn(out, mask, train=train)
             out = out + residual
-        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_ln")(out)
+        return self.final_ln(out, self.dtype)
 
 
 class StackedEncoder(nn.Module):
@@ -213,12 +264,14 @@ class StackedEncoder(nn.Module):
     num_heads: int = 0
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, *, train: bool):
         for i in range(self.n_blocks):
-            x = EncoderBlock(self.n_conv, self.kernel_size, self.num_heads,
-                             self.dropout, self.dtype,
+            x = EncoderBlock(x.shape[-1], self.n_conv, self.kernel_size,
+                             self.num_heads, self.dropout, self.dtype,
+                             self.use_pallas,
                              name=f"block_{i}")(x, mask, train=train)
         return x
 
@@ -323,6 +376,35 @@ class _DenseParams(nn.Module):
     def __call__(self, x, dtype):
         return (x.astype(dtype) @ self.kernel.astype(dtype)
                 + self.bias.astype(dtype))
+
+
+class _DSConvParams(nn.Module):
+    """Bare depthwise-separable-conv parameters with
+    DepthwiseSeparableConv-equivalent math (relu=True); see _LNParams."""
+    dim: int
+    out: int
+    k: int
+
+    def setup(self):
+        self.depthwise = self.param("depthwise",
+                                    nn.initializers.lecun_normal(),
+                                    (self.k, self.dim))
+        self.depthwise_bias = self.param("depthwise_bias",
+                                         nn.initializers.zeros, (self.dim,))
+        self.pointwise = _DenseParams(self.dim, self.out)
+
+    def __call__(self, x, dtype):
+        x = x.astype(dtype)
+        pad = self.k // 2
+        pad_widths = [(0, 0)] * (x.ndim - 2) + [(pad, pad), (0, 0)]
+        xp = jnp.pad(x, pad_widths)
+        l = x.shape[-2]
+        out = jnp.zeros_like(x)
+        for j in range(self.k):
+            out = out + self.depthwise[j].astype(dtype) * \
+                jax.lax.slice_in_dim(xp, j, j + l, axis=-2)
+        out = out + self.depthwise_bias.astype(dtype)
+        return nn.relu(self.pointwise(out, dtype))
 
 
 class TriMLPBridge(nn.Module):

@@ -121,15 +121,20 @@ class STAGE(nn.Module):
             self.concat_fc = TriMLPBridge(c.hsz, c.dropout, dt,
                                           use_pallas=c.use_pallas)
         self.input_embedding = InputEmbedding(c.hsz, c.dropout, dt)
+        # input_encoder stays on the XLA path: its k=7 sites measured
+        # 0.7-0.9x with the fused kernel (small per-cell row counts at the
+        # VMEM-feasible block sizes) while the k=5 cls_encoder wins 2.1x —
+        # see scripts/check_pallas_tpu.py check_encoder / docs/BENCH.md
         self.input_encoder = StackedEncoder(
             c.input_encoder_n_blocks, c.input_encoder_n_conv,
             c.input_encoder_kernel_size, c.input_encoder_n_heads,
-            c.dropout, dt)
+            c.dropout, dt, use_pallas=False)
         self.c2q_down_projection = DownProjection(3 * c.hsz, c.hsz,
                                                   c.dropout, dt)
         self.cls_encoder = StackedEncoder(
             c.cls_encoder_n_blocks, c.cls_encoder_n_conv,
-            c.cls_encoder_kernel_size, c.cls_encoder_n_heads, c.dropout, dt)
+            c.cls_encoder_kernel_size, c.cls_encoder_n_heads, c.dropout, dt,
+            use_pallas=c.use_pallas)
         # temporal refinement chain (reference stage.py:147-178)
         layers = [LinearWrapper(c.hsz, True, c.dropout, True, dt)]
         for _ in range(c.t_iter):

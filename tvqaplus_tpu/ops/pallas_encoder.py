@@ -1,0 +1,412 @@
+"""Fused QANet encoder-block Pallas kernel (forward AND backward).
+
+Fuses STAGE's ``EncoderBlock`` at the default configuration
+(reference encoder.py:9-52 with n_conv=2, num_heads=0): positional
+encoding + 2 x [LN -> (dropout on even convs) -> depthwise-separable conv
+-> ReLU -> residual] + final LN, on (..., L, D) sequences.
+
+Why: the encoder runs at FOUR sites per step (qa/sub/vid input encoding and
+the classifier encoder over the (B, A, Li, Lqa, D) statement) and its
+pure-XLA forward+backward is ~12 HBM passes over the activation —
+~7 ms/step of a 15.7 ms step at bench shapes (profiled, cls_encoder +
+input_encoder share).  The kernel reads x once and writes the result once;
+every intermediate lives in VMEM.
+
+Layout: the wrapper views x as (B, G, L, D) (G = all leading dims merged —
+free reshape) and grids over (B, G/Tg).  In-kernel, rowwise ops (LN,
+pointwise matmul) run on the (Tg*L, D) row-collapse; the depthwise conv
+runs on the (Tg, L, D) view with static shifted slices along L
+(zero-padded per sequence, matching reference cnn.py:6-47).
+
+Dropout (reference encoder.py:41: even conv indices only, i.e. conv_0)
+uses the TPU-PRNG replay scheme of ops/pallas_attention.py.  Non-TPU
+backends fall back to pure JAX when dropout is active.
+
+Falls back to the unfused module path for non-default configs
+(num_heads > 0, n_conv != 2).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tvqaplus_tpu.ops.pallas_attention import (
+    LN_EPS,
+    _keep_mask,
+    _out_dtype,
+)
+
+
+def _seqs_per_cell(g, l, d, k, budget_bytes=13 * 1024 * 1024):
+    """Sequences per grid cell: largest divisor of G (<= 64) whose backward
+    VMEM footprint fits.
+
+    Calibrated against Mosaic's scoped-stack accounting on v5e (16 MB):
+    ~15 live (rows, D) f32 equivalents for the LN/matmul chain plus ~2 per
+    conv tap (each roll materializes a live rotated copy); k=5 fits 1000
+    rows, k=7 OOMs at 1250 (measured)."""
+    def footprint(t):
+        return 4 * (15 + 2 * k) * t * l * d
+    best = 1
+    for t in range(1, min(64, g) + 1):
+        if g % t == 0 and footprint(t) <= budget_bytes:
+            best = t
+    return best
+
+
+def _ln_f(x, scale, bias):
+    """flax.linen.LayerNorm numerics: f32 fast-variance stats (clipped at
+    0), f32 normalize+affine.  Returns (out_f32, xhat, inv_std)."""
+    mean = jnp.mean(x, -1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(x), -1, keepdims=True) - jnp.square(mean), 0.0)
+    inv_std = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (x - mean) * inv_std
+    return xhat * scale + bias, xhat, inv_std
+
+
+def _ln_bwd(g, xhat, inv_std, scale):
+    """d(LN)/dx given upstream g; also returns (gscale, gbias) sums."""
+    d = xhat.shape[-1]
+    gxh = g * scale
+    m1 = jnp.sum(gxh, -1, keepdims=True) * (1.0 / d)
+    m2 = jnp.sum(gxh * xhat, -1, keepdims=True) * (1.0 / d)
+    gx = inv_std * (gxh - m1 - xhat * m2)
+    return gx, jnp.sum(g * xhat, 0, keepdims=True), \
+        jnp.sum(g, 0, keepdims=True)
+
+
+def _roll_rows(x2, shift):
+    """Circular row shift; out[p] = x2[(p + shift) % rows].
+
+    Compiled path uses the hardware sublane rotator (pltpu.roll) — padded
+    copies + unaligned static slices cost ~7x more (measured: the k=7
+    slice-based conv backward ran 25 us/cell vs ~3.5 us with rolls)."""
+    if shift == 0:
+        return x2
+    if jax.default_backend() == "tpu":
+        # pltpu.roll requires a non-negative shift; circular => mod rows
+        return pltpu.roll(x2, shift=(-shift) % x2.shape[0], axis=0)
+    return jnp.roll(x2, -shift, axis=0)
+
+
+def _seq_masks(rows, l, k, dtype=jnp.float32):
+    """Per-shift validity masks for a sequence-local conv on row-collapsed
+    (rows = Tg*L) arrays: position p may read p+s only within its own
+    sequence (zero padding semantics of reference cnn.py:33-39)."""
+    pad = k // 2
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % l
+    return {s: ((r + s >= 0) & (r + s < l)).astype(dtype)
+            for s in range(-pad, pad + 1)}
+
+
+def _dwconv_f(x2, dw, dwb, k, masks):
+    """Depthwise stage on (rows, D): k rolls + masked FMAs."""
+    pad = k // 2
+    out = dwb * jnp.ones_like(x2)
+    for j in range(k):
+        s = j - pad
+        out = out + dw[j] * (_roll_rows(x2, s) * masks[s])
+    return out
+
+
+def _dwconv_bwd_x(g2, dw, k, masks):
+    """dX of the depthwise stage: out[p] read x[p+s], so
+    dX[q] += dw * g[q-s] for positions where the read was in-sequence."""
+    pad = k // 2
+    gx = jnp.zeros_like(g2)
+    for j in range(k):
+        s = j - pad
+        gx = gx + dw[j] * _roll_rows(g2 * masks[s], -s)
+    return gx
+
+
+def _dwconv_bwd_w(x2, g2, k, masks):
+    """dDW (k, D) and dDWB (1, D) of the depthwise stage."""
+    pad = k // 2
+    taps = [jnp.sum(_roll_rows(x2, j - pad) * masks[j - pad] * g2,
+                    axis=0, keepdims=True)
+            for j in range(k)]                          # each (1, D)
+    gdw = jnp.concatenate(taps, axis=0)                 # (k, D)
+    gdwb = jnp.sum(g2, axis=0, keepdims=True)           # (1, D)
+    return gdw, gdwb
+
+
+def _conv_layer_fwd(h2, ln_s, ln_b, dw, dwb, pw_ref, pwb, k, ct,
+                    dropout_rate, masks):
+    """One LN -> (dropout) -> dsconv -> ReLU -> residual layer on
+    row-collapsed (rows, D).  dropout_rate > 0 draws ONE keep mask."""
+    rows, d = h2.shape
+    ln_out, xhat, inv_std = _ln_f(h2, ln_s, ln_b)
+    keep = _keep_mask((rows, d), dropout_rate) if dropout_rate > 0.0 else None
+    ln_d = ln_out * keep if keep is not None else ln_out
+    # depthwise stage stays f32: the hardware rotator (pltpu.roll) only
+    # handles 32-bit data, and the k FMAs are cheap VPU work
+    c = _dwconv_f(ln_d, dw, dwb, k, masks)
+    y1 = jax.lax.dot_general(
+        c.astype(ct), pw_ref[...].astype(ct), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + pwb        # (rows, D)
+    y2 = jnp.maximum(y1, 0.0)
+    out2 = y2 + h2                                       # residual
+    return dict(xhat=xhat, inv_std=inv_std, keep=keep, ln_d=ln_d, c=c,
+                y1=y1, out2=out2)
+
+
+def _conv_layer_bwd(g2, f, ln_s, dw, pw_ref, k, ct, masks):
+    """Backward of _conv_layer_fwd.  g2: (rows, D) cotangent of out2.
+    Returns g wrt h2 (incl. residual) and the param grad tuple."""
+    g_y1 = g2 * (f["y1"] > 0.0).astype(jnp.float32)
+    gpwb = jnp.sum(g_y1, 0, keepdims=True)
+    gpw = jax.lax.dot_general(
+        f["c"].astype(ct), g_y1.astype(ct),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    g_c = jax.lax.dot_general(
+        g_y1.astype(ct), pw_ref[...].astype(ct), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (rows, D)
+    gdw, gdwb = _dwconv_bwd_w(f["ln_d"], g_c, k, masks)
+    g_lnd = _dwconv_bwd_x(g_c, dw, k, masks)
+    g_ln = g_lnd * f["keep"] if f["keep"] is not None else g_lnd
+    g_h, g_ls, g_lb = _ln_bwd(g_ln, f["xhat"], f["inv_std"], ln_s)
+    return g_h + g2, (g_ls, g_lb, gdw, gdwb, gpw, gpwb)  # residual
+
+
+def _block_fwd(x3, pe, params, k, ct, dropout_rate):
+    """Full block forward; x3: (Tg, L, D) block view, everything after the
+    positional add runs on the (Tg*L, D) row collapse."""
+    tg, l, d = x3.shape
+    rows = tg * l
+    masks = _seq_masks(rows, l, k)
+    h0 = (x3 + pe).reshape(rows, d)                      # pos encoding
+    f0 = _conv_layer_fwd(h0, params["ln0_s"], params["ln0_b"],
+                         params["dw0"], params["dwb0"], params["pw0"],
+                         params["pwb0"], k, ct, dropout_rate,
+                         masks)                          # dropout on conv_0
+    f1 = _conv_layer_fwd(f0["out2"], params["ln1_s"], params["ln1_b"],
+                         params["dw1"], params["dwb1"], params["pw1"],
+                         params["pwb1"], k, ct, 0.0,
+                         masks)                          # even convs only
+    out, xhat_f, inv_std_f = _ln_f(f1["out2"], params["lnf_s"],
+                                   params["lnf_b"])
+    return dict(masks=masks, f0=f0, f1=f1, xhat_f=xhat_f,
+                inv_std_f=inv_std_f, out=out)
+
+
+def _kernel_params(gamma_refs):
+    (ln0s, ln0b, dw0, dwb0, pw0, pwb0,
+     ln1s, ln1b, dw1, dwb1, pw1, pwb1, lnfs, lnfb) = gamma_refs
+    return dict(
+        ln0_s=ln0s[0, :], ln0_b=ln0b[0, :], dw0=dw0[...], dwb0=dwb0[0, :],
+        pw0=pw0, pwb0=pwb0[0, :],
+        ln1_s=ln1s[0, :], ln1_b=ln1b[0, :], dw1=dw1[...], dwb1=dwb1[0, :],
+        pw1=pw1, pwb1=pwb1[0, :],
+        lnf_s=lnfs[0, :], lnf_b=lnfb[0, :])
+
+
+def _fwd_kernel(seed_ref, x_ref, pe_ref, *refs, k, dropout_rate,
+                compute_dtype):
+    out_ref = refs[-1]
+    param_refs = refs[:-1]
+    tg, l, d = x_ref.shape[1:]
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(
+            seed_ref[0],
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+    x3 = x_ref[0].astype(jnp.float32)
+    pe = pe_ref[...].astype(jnp.float32)                 # (L, D) broadcast
+    f = _block_fwd(x3, pe, _kernel_params(param_refs), k, compute_dtype,
+                   dropout_rate)
+    out_ref[0] = f["out"].astype(out_ref.dtype).reshape(tg, l, d)
+
+
+def _bwd_from_block(f, g2, params, k, ct):
+    """Shared backward chain given the recomputed forward f."""
+    masks = f["masks"]
+    g_h2, g_lnf_s, g_lnf_b = _ln_bwd(g2, f["xhat_f"], f["inv_std_f"],
+                                     params["lnf_s"])
+    g_h1, p1 = _conv_layer_bwd(g_h2, f["f1"], params["ln1_s"],
+                               params["dw1"], params["pw1"], k, ct, masks)
+    g_h0, p0 = _conv_layer_bwd(g_h1, f["f0"], params["ln0_s"],
+                               params["dw0"], params["pw0"], k, ct, masks)
+    return g_h0, list(p0) + list(p1) + [g_lnf_s, g_lnf_b]
+
+
+def _bwd_kernel(seed_ref, x_ref, pe_ref, *refs, k, dropout_rate,
+                compute_dtype):
+    param_refs = refs[:14]
+    g_ref = refs[14]
+    gx_ref = refs[15]
+    gparam_refs = refs[16:]
+    tg, l, d = x_ref.shape[1:]
+    rows = tg * l
+    ct = compute_dtype
+    i, j = pl.program_id(0), pl.program_id(1)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        for r in gparam_refs:
+            r[...] = jnp.zeros_like(r)
+
+    params = _kernel_params(param_refs)
+    x3 = x_ref[0].astype(jnp.float32)
+    pe = pe_ref[...].astype(jnp.float32)
+    f = _block_fwd(x3, pe, params, k, ct, dropout_rate)
+
+    g = g_ref[0].reshape(rows, d).astype(jnp.float32)
+    g_h0, grads = _bwd_from_block(f, g, params, k, ct)
+    gx_ref[0] = g_h0.reshape(tg, l, d)                   # d(pos-add)/dx = 1
+    for r, val in zip(gparam_refs, grads):
+        r[...] += val.astype(jnp.float32)
+
+
+def _param_operands(p, k, d):
+    """Normalize the 14 parameter arrays to kernel layouts (f32)."""
+    def row(v):
+        return jnp.asarray(v, jnp.float32).reshape(1, -1)
+    return (row(p["ln0_s"]), row(p["ln0_b"]),
+            jnp.asarray(p["dw0"], jnp.float32), row(p["dwb0"]),
+            jnp.asarray(p["pw0"], jnp.float32), row(p["pwb0"]),
+            row(p["ln1_s"]), row(p["ln1_b"]),
+            jnp.asarray(p["dw1"], jnp.float32), row(p["dwb1"]),
+            jnp.asarray(p["pw1"], jnp.float32), row(p["pwb1"]),
+            row(p["lnf_s"]), row(p["lnf_b"]))
+
+
+def _param_specs(k, d):
+    vec = pl.BlockSpec((1, d), lambda i, j, s: (0, 0))
+    tap = pl.BlockSpec((k, d), lambda i, j, s: (0, 0))
+    mat = pl.BlockSpec((d, d), lambda i, j, s: (0, 0))
+    return [vec, vec, tap, vec, mat, vec,
+            vec, vec, tap, vec, mat, vec, vec, vec]
+
+
+def _param_out_shapes(k, d):
+    return [jax.ShapeDtypeStruct(s, jnp.float32) for s in
+            [(1, d), (1, d), (k, d), (1, d), (d, d), (1, d),
+             (1, d), (1, d), (k, d), (1, d), (d, d), (1, d),
+             (1, d), (1, d)]]
+
+
+def _forward(x, pe, params, seed, k, dropout_rate, interpret=False,
+             compute_dtype=jnp.bfloat16):
+    """x: (B, G, L, D); pe: (L, D); params: dict of 14 arrays."""
+    bsz, g, l, d = x.shape
+    tg = _seqs_per_cell(g, l, d, k)
+    blk = pl.BlockSpec((1, tg, l, d), lambda i, j, s: (i, j, 0, 0))
+    pe_spec = pl.BlockSpec((l, d), lambda i, j, s: (0, 0))
+    kernel = functools.partial(_fwd_kernel, k=k, dropout_rate=dropout_rate,
+                               compute_dtype=compute_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, g // tg),
+        in_specs=[blk, pe_spec] + _param_specs(k, d),
+        out_specs=[blk],
+    )
+    (out,) = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bsz, g, l, d),
+                                        _out_dtype(compute_dtype))],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
+      *_param_operands(params, k, d))
+    return out
+
+
+def _backward(x, pe, params, seed, g_out, k, dropout_rate, interpret=False,
+              compute_dtype=jnp.bfloat16):
+    bsz, g, l, d = x.shape
+    tg = _seqs_per_cell(g, l, d, k)
+    blk = pl.BlockSpec((1, tg, l, d), lambda i, j, s: (i, j, 0, 0))
+    pe_spec = pl.BlockSpec((l, d), lambda i, j, s: (0, 0))
+    kernel = functools.partial(_bwd_kernel, k=k, dropout_rate=dropout_rate,
+                               compute_dtype=compute_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, g // tg),
+        in_specs=[blk, pe_spec] + _param_specs(k, d) + [blk],
+        out_specs=[blk] + _param_specs(k, d),
+    )
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bsz, g, l, d), jnp.float32)]
+        + _param_out_shapes(k, d),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
+      *_param_operands(params, k, d), g_out)
+    return outs[0], outs[1:]
+
+
+def reference_impl(x, pe, params, k):
+    """Pure-JAX equivalent (no dropout) — oracle + non-TPU VJP."""
+    def ln(h, s, b):
+        mean = jnp.mean(h, -1, keepdims=True)
+        var = jnp.maximum(jnp.mean(jnp.square(h), -1, keepdims=True)
+                          - jnp.square(mean), 0.0)
+        return ((h - mean) * jax.lax.rsqrt(var + LN_EPS)) * s + b
+
+    def dsconv(h, dw, dwb, pw, pwb):
+        pad_widths = [(0, 0)] * (h.ndim - 2) + [(k // 2, k // 2), (0, 0)]
+        hp = jnp.pad(h, pad_widths)
+        l = h.shape[-2]
+        out = jnp.zeros_like(h) + dwb
+        for j in range(k):
+            out = out + dw[j] * jax.lax.slice_in_dim(hp, j, j + l, axis=-2)
+        return jnp.maximum(jnp.einsum("...d,de->...e", out, pw) + pwb, 0.0)
+
+    h = x.astype(jnp.float32) + pe
+    h = h + dsconv(ln(h, params["ln0_s"], params["ln0_b"]),
+                   params["dw0"], params["dwb0"], params["pw0"],
+                   params["pwb0"])
+    h = h + dsconv(ln(h, params["ln1_s"], params["ln1_b"]),
+                   params["dw1"], params["dwb1"], params["pw1"],
+                   params["pwb1"])
+    return ln(h, params["lnf_s"], params["lnf_b"])
+
+
+_PKEYS = ("ln0_s", "ln0_b", "dw0", "dwb0", "pw0", "pwb0",
+          "ln1_s", "ln1_b", "dw1", "dwb1", "pw1", "pwb1", "lnf_s", "lnf_b")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_encoder_block(x, pe, params, seed, k, compute_dtype=jnp.bfloat16,
+                        dropout_rate=0.0):
+    """Pallas forward + Pallas backward (TPU) / pure-JAX rematerialized
+    backward (interpret mode, dropout_rate == 0 only).
+
+    x: (B, G, L, D) — merge all leading batch dims into G (free reshape);
+    pe: (L, D) positional table; params: dict with keys
+    ln0_s/ln0_b/dw0/dwb0/pw0/pwb0/ln1_s/.../lnf_s/lnf_b.
+    """
+    return _forward(x, pe, params, seed, k, dropout_rate,
+                    interpret=jax.default_backend() != "tpu",
+                    compute_dtype=compute_dtype)
+
+
+def _fused_fwd(x, pe, params, seed, k, compute_dtype, dropout_rate):
+    out = fused_encoder_block(x, pe, params, seed, k, compute_dtype,
+                              dropout_rate)
+    return out, (x, pe, params, seed)
+
+
+def _fused_bwd(k, compute_dtype, dropout_rate, residuals, g):
+    on_tpu = jax.default_backend() == "tpu"
+    if dropout_rate > 0.0 and not on_tpu:
+        raise NotImplementedError(
+            "in-kernel dropout backward needs the TPU PRNG")
+    x, pe, params, seed = residuals
+    gx, gparams = _backward(x, pe, params, seed, g, k, dropout_rate,
+                            interpret=not on_tpu,
+                            compute_dtype=compute_dtype)
+    gp = {key: gv.reshape(jnp.shape(params[key]))
+          for key, gv in zip(_PKEYS, gparams)}
+    return (gx.astype(x.dtype), jnp.zeros_like(pe), gp,
+            np.zeros(jnp.shape(seed), jax.dtypes.float0))
+
+
+fused_encoder_block.defvjp(_fused_fwd, _fused_bwd)

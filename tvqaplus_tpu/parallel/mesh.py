@@ -44,12 +44,56 @@ def make_mesh(mesh_shape=(-1, 1), devices=None):
     return Mesh(mesh_devices, ("data", "ctx"))
 
 
+def init_distributed(coordinator_address, num_processes, process_id,
+                     local_device_ids=None):
+    """Join a multi-host run (jax.distributed).  Call BEFORE any other JAX
+    API touches a backend.  Idempotent per process."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id,
+        local_device_ids=local_device_ids)
+
+
+def make_multihost_mesh(ctx=1):
+    """("data", "ctx") mesh over ALL processes' devices.
+
+    The data axis spans hosts — its gradient psum rides DCN, which is fine:
+    DP all-reduces one ~0.55M-param gradient per step.  The ctx axis is
+    kept WITHIN a host (contiguous local devices) so the Li-axis
+    collectives of the span head ride ICI.  ``create_device_mesh`` orders
+    devices host-major, so reshaping (n_data, ctx) with ctx dividing the
+    per-host device count yields exactly that layout.
+    """
+    n = jax.device_count()
+    n_local = jax.local_device_count()
+    assert ctx >= 1 and n_local % ctx == 0, \
+        f"ctx={ctx} must divide local device count {n_local}"
+    devices = np.asarray(jax.devices()).reshape(n // ctx, ctx)
+    return Mesh(devices, ("data", "ctx"))
+
+
 def data_parallel_size(mesh):
     return mesh.shape["data"]
 
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
+
+
+def place_replicated(mesh, tree):
+    """Place a host pytree fully-replicated on the mesh.
+
+    Single-process: plain device_put.  Multi-process: assembled via
+    make_array_from_callback (device_put cannot target non-addressable
+    devices); every process supplies the identical full value."""
+    sh = replicated(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sh, lambda idx: x[idx])
+        return jax.tree_util.tree_map(put, tree)
+    return jax.device_put(tree, sh)
 
 
 def batch_shardings(mesh, batch, stacked=False):
@@ -73,6 +117,14 @@ def batch_shardings(mesh, batch, stacked=False):
 
 
 def shard_batch(mesh, batch, stacked=False):
-    """Host numpy batch -> device arrays laid out on the mesh."""
+    """Host numpy batch -> device arrays laid out on the mesh.
+
+    Multi-process: each process passes its LOCAL portion of the batch
+    (standard multihost data loading — every host reads different
+    examples); the global array is assembled process-locally without any
+    cross-host data movement."""
     shardings = batch_shardings(mesh, batch, stacked=stacked)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(
+            shardings[k], np.asarray(v)) for k, v in batch.items()}
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}

@@ -24,6 +24,7 @@ from tvqaplus_tpu.parallel.mesh import (
     batch_shardings,
     data_parallel_size,
     make_mesh,
+    place_replicated,
     replicated,
 )
 from tvqaplus_tpu.train.metrics import MetricsLogger
@@ -103,7 +104,7 @@ class Trainer:
         # lay the state out exactly as the jitted step returns it
         # (replicated NamedSharding) — a SingleDeviceSharding input would
         # trigger a second full compile on step 2
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.state = place_replicated(self.mesh, self.state)
         self.n_params = count_parameters(self.state.params)
         self.scheduler = PlateauScheduler(cfg.lr, mode="max", factor=0.5,
                                           patience=10)
@@ -114,7 +115,7 @@ class Trainer:
         if cfg.resume:
             self.state, extra = load_checkpoint(cfg.resume, self.state)
             # restored leaves are host numpy; re-place on the mesh
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+            self.state = place_replicated(self.mesh, self.state)
             self.best_acc = extra.get("best_acc", 0.0)
             self.start_epoch = extra.get("epoch", 0)
             self.scheduler.lr = extra.get("lr", cfg.lr)
