@@ -67,7 +67,8 @@ def test_module_unfused_matches_old_mlpbridge():
                          train=False)
     out_tri = tri.apply(variables, s, v, train=False)
 
-    old = MLPBridge(out_hsz=D, dropout=0.1, dtype=jnp.float32)
+    old = MLPBridge(in_hsz=3 * D, out_hsz=D, dropout=0.1,
+                    dtype=jnp.float32)
     cat = jnp.concatenate([s, v, s * v], axis=-1)
     out_old = old.apply(variables, cat, train=False)
     np.testing.assert_allclose(np.array(out_tri), np.array(out_old),

@@ -278,18 +278,44 @@ class StackedEncoder(nn.Module):
 
 class MLPBridge(nn.Module):
     """LN -> Dropout -> Dense -> ReLU -> LN: the `bert_word_encoding_fc` /
-    `vid_fc` / `concat_fc` recipe (reference stage.py:85-113)."""
+    `vid_fc` recipe (reference stage.py:85-113; `concat_fc` uses the
+    TriMLPBridge variant below).
+
+    Params are explicit (same ln_in/fc/ln_out tree as the original compact
+    formulation — checkpoint/torch-interop compatible) so the fused Pallas
+    kernel (ops/pallas_bridge.py) can consume them directly.
+    """
+    in_hsz: int
     out_hsz: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.ln_in = _LNParams(self.in_hsz)
+        self.fc = _DenseParams(self.in_hsz, self.out_hsz)
+        self.ln_out = _LNParams(self.out_hsz)
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x, *, train: bool):
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_in")(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.out_hsz, dtype=self.dtype, name="fc")(x)
-        x = nn.relu(x)
-        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_out")(x)
+        dropout_active = train and self.dropout > 0.0
+        kernel_ok = self.use_pallas and x.ndim == 4 and (
+            not dropout_active or jax.default_backend() == "tpu")
+        if kernel_ok:
+            from tvqaplus_tpu.ops.pallas_bridge import fused_mlp_bridge
+            seed = jnp.zeros((), jnp.int32)
+            if dropout_active:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2 ** 31 - 1,
+                    dtype=jnp.int32)
+            return fused_mlp_bridge(
+                x, self.ln_in.scale, self.ln_in.bias, self.fc.kernel,
+                self.fc.bias, self.ln_out.scale, self.ln_out.bias, seed,
+                self.dtype, self.dropout if dropout_active else 0.0)
+        x = self.ln_in(x, self.dtype)
+        x = self.drop(x, deterministic=not train)
+        x = nn.relu(self.fc(x, self.dtype))
+        return self.ln_out(x, self.dtype)
 
 
 class InputEmbedding(nn.Module):

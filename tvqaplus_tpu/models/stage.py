@@ -114,9 +114,15 @@ class STAGE(nn.Module):
         c = self.cfg
         dt = c.dtype
         # input projections (reference stage.py:85-138)
-        self.bert_word_encoding_fc = MLPBridge(c.bridge_hsz, c.dropout, dt)
+        # bridges stay on the XLA path: the fused bridge kernel
+        # (ops/pallas_bridge.py) measured 0.77-0.99x at these shapes — the
+        # 768-wide input caps VMEM-feasible rows/cell at ~250, and XLA's
+        # own fusion of LN->dropout->dense is already competitive there
+        self.bert_word_encoding_fc = MLPBridge(
+            c.embedding_size, c.bridge_hsz, c.dropout, dt)
         if c.vfeat_flag:
-            self.vid_fc = MLPBridge(c.bridge_hsz, c.dropout, dt)
+            self.vid_fc = MLPBridge(c.vfeat_size, c.bridge_hsz, c.dropout,
+                                    dt)
         if c.sub_flag and c.vfeat_flag:
             self.concat_fc = TriMLPBridge(c.hsz, c.dropout, dt,
                                           use_pallas=c.use_pallas)
