@@ -33,3 +33,34 @@ for use_pallas in (False, True):
     p, b, fwd = build(use_pallas)
     ms = timeit(fwd, p, b)
     print(f"eval fwd use_pallas={use_pallas}: {ms:.3f} ms  ({16/ms*1000:.0f} qa/s)", flush=True)
+
+
+def bench_end_to_end(n_examples=256, grounding=False):
+    """Full InferenceRunner serving loop over synthetic examples: host
+    collation + upload + device step + host prediction assembly.  Wall
+    clock is valid here — the runner host-fetches every batch's outputs."""
+    from tvqaplus_tpu.infer.predict import InferenceRunner
+
+    cfg = Config(bsz=16, test_bsz=16, synthetic_data=True,
+                 results_dir_base="results/bench", img_buckets=[50],
+                 compute_dtype="bfloat16", use_pallas=True)
+    cfg.finalize(save=False)
+    model = STAGE(ModelConfig.from_config(cfg))
+    ds = SyntheticTVQADataset(cfg, n_examples, mode="valid")
+    spec = StaticShapeSpec.from_config(cfg, batch=cfg.test_bsz, max_img=50)
+    arrays, _ = collate_static([ds[i] for i in range(cfg.test_bsz)], spec)
+    params = model.init({"params": jax.random.PRNGKey(0)}, arrays,
+                        train=False)["params"]
+    runner = InferenceRunner(cfg, model, params)
+    obj_ids = list(range(3, 1000, 7)) if grounding else ()
+    runner.run(ds, mode="valid", object_word_ids=obj_ids, debug=True)  # warm
+    t0 = time.perf_counter()
+    preds = runner.run(ds, mode="valid", object_word_ids=obj_ids)
+    dt = time.perf_counter() - t0
+    n = len(preds["ts_answer"])
+    print(f"serving e2e grounding={grounding}: {n} examples in {dt:.2f} s "
+          f"-> {n / dt:.1f} qa/s", flush=True)
+
+
+bench_end_to_end(grounding=False)
+bench_end_to_end(grounding=True)
