@@ -59,13 +59,18 @@ def fused_kernel_flops(cfg, li, lr_sub, lr_vid):
 
     XLA's cost analysis reports 0 FLOPs for tpu_custom_call, so once the
     attention + tri-bridge kernels moved in-kernel the compiled count lost
-    their share — this adds it back (matmul terms only; elementwise is
-    negligible at these shapes).  See ops/pallas_attention.py (forward:
-    s, a, proj; backward: recompute + gw/g_yd + g_p/gqe/gcn/gqn) and
-    ops/pallas_tri_bridge.py (forward: one 3D x D matmul; backward:
-    recompute + gw/g_yd)."""
+    their share — this adds it back (matmul terms ONLY; elementwise is
+    negligible at these shapes, so the totals are a slight undercount).
+    See ops/pallas_attention.py (forward: s, a, proj; backward: recompute
+    + gw/g_yd + g_p/gqe/gcn/gqn) and ops/pallas_tri_bridge.py (forward:
+    one 3D x D matmul; backward: recompute + gw/g_yd).
+
+    Returns ``(executed, recompute)``: the backward kernels re-derive their
+    forward intermediates flash-attention-style, so ``executed`` includes
+    those recompute FLOPs while *model* FLOPs (the useful-work numerator
+    for MFU) are ``executed - recompute``."""
     if not cfg.use_pallas:
-        return 0
+        return 0, 0
     b, a, lqa, d = cfg.bsz, 5, cfg.max_qa_l, cfg.hsz
     m = a * lqa
     rows = b * li * m                         # total rows per stream
@@ -75,7 +80,7 @@ def fused_kernel_flops(cfg, li, lr_sub, lr_vid):
         attn = 2 * (2 * rows * d * lr)        # s + a matmuls
         fwd = attn + proj
         bwd = fwd + 2 * proj + attn           # recompute + gw/g_yd + 4 attn
-        return fwd + bwd
+        return fwd + bwd, fwd                 # (executed, recomputed-fwd)
 
     tri_fwd = proj
     tri_bwd = tri_fwd + 2 * proj
@@ -85,14 +90,20 @@ def fused_kernel_flops(cfg, li, lr_sub, lr_vid):
         # backward = recompute + per-conv gw/g_c matmuls
         fwd = 2 * (2 * rows * d * d)
         bwd = fwd + 2 * (2 * rows * d * d + 2 * rows * d * d)
-        return fwd + bwd
+        return fwd + bwd, fwd
 
-    enc = encoder(rows)   # cls_encoder only (input_encoder stays on XLA —
-    #                       its k=7 sites lose with the kernel, see stage.py)
-    return stream(lr_sub) + stream(lr_vid) + tri_fwd + tri_bwd + enc
+    enc, enc_rec = encoder(rows)  # cls_encoder only (input_encoder stays on
+    #                       XLA — its k=7 sites lose with the kernel)
+    s_sub, r_sub = stream(lr_sub)
+    s_vid, r_vid = stream(lr_vid)
+    executed = s_sub + s_vid + tri_fwd + tri_bwd + enc
+    recompute = r_sub + r_vid + tri_fwd + enc_rec
+    return executed, recompute
 
 
-def main():
+def run_bench(li, k, compute_dtype, use_pallas):
+    """Measure the training step at frame-bucket ``li``.  Returns a dict of
+    step_s / qps / FLOPs detail (executed- and model-FLOPs MFU)."""
     from tvqaplus_tpu.config import Config
     from tvqaplus_tpu.data.batching import StaticShapeSpec, collate_static
     from tvqaplus_tpu.data.synthetic import SyntheticTVQADataset
@@ -100,24 +111,21 @@ def main():
     from tvqaplus_tpu.train.loop import Trainer
     from tvqaplus_tpu.utils.timing import compiled_flops
 
-    compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     cfg = Config(bsz=16, test_bsz=16, use_sup_att=True, add_local=True,
                  synthetic_data=True, results_dir_base="results/bench",
                  compute_dtype=compute_dtype, use_pallas=use_pallas,
-                 img_buckets=[50])
+                 img_buckets=[li])
     cfg.finalize(save=False)
 
-    n_dev = len(jax.devices())
     mesh = make_mesh((1, 1), devices=jax.devices()[:1])  # per-chip number
     trainer = Trainer(cfg, mesh=mesh)
 
     ds = SyntheticTVQADataset(cfg, cfg.bsz, mode="train")
-    spec = StaticShapeSpec.from_config(cfg, batch=cfg.bsz, max_img=50)
+    spec = StaticShapeSpec.from_config(cfg, batch=cfg.bsz,
+                                       max_img=max(cfg.img_buckets))
     arrays, _ = collate_static([ds[i] for i in range(cfg.bsz)], spec)
     # production multi-step dispatch: K optimizer steps per host round trip
     # (lax.scan, see train/loop.py; exact-equivalence tested)
-    k = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "10"))
     stacked = {key: np.stack([v] * k) for key, v in arrays.items()}
     batch = shard_batch(mesh, stacked, stacked=True)
 
@@ -126,12 +134,18 @@ def main():
     # once regardless of trip count, so analyzing the K-step dispatch and
     # dividing by K under-reports ~Kx (round-1 bug).
     single = shard_batch(mesh, arrays)
-    flops_per_step = compiled_flops(
+    xla_flops = compiled_flops(
         trainer._train_step, trainer.state, single, trainer.rng,
         use_hard_negatives=False)
-    if flops_per_step:
-        flops_per_step += fused_kernel_flops(
-            cfg, li=50, lr_sub=cfg.max_sub_l, lr_vid=cfg.num_region)
+    executed_flops = model_flops = None
+    if xla_flops:
+        kernel_exec, kernel_rec = fused_kernel_flops(
+            cfg, li=max(cfg.img_buckets), lr_sub=cfg.max_sub_l,
+            lr_vid=cfg.num_region)
+        executed_flops = xla_flops + kernel_exec
+        # model FLOPs = useful work: exclude the flash-style forward
+        # recompute inside the Pallas backward kernels
+        model_flops = xla_flops + kernel_exec - kernel_rec
 
     # compile + warmup
     for _ in range(WARMUP):
@@ -148,36 +162,58 @@ def main():
         host_sync(metrics)  # forces the whole trial's chain
         dt = min(dt, time.perf_counter() - t0)
     step_s = dt / (STEPS * k)
-    qps = cfg.bsz / step_s
 
-    tflops = mfu = None
-    if flops_per_step:
-        tflops = flops_per_step / step_s / 1e12
-        mfu = flops_per_step / step_s / PEAK_FLOPS
+    out = {"li": li, "step_s": step_s, "qps": cfg.bsz / step_s,
+           "executed_flops": executed_flops, "model_flops": model_flops}
+    if executed_flops:
+        tflops = executed_flops / step_s / 1e12
         if tflops * 1e12 > PEAK_FLOPS:
             raise RuntimeError(
                 f"implausible measurement: {tflops:.1f} TFLOPS sustained > "
                 f"chip peak {PEAK_FLOPS/1e12:.0f} TFLOPS — timing is not "
                 f"synchronizing (see utils/timing.py)")
+    return out
 
+
+def detail_line(r, k, compute_dtype, use_pallas, baseline):
+    d = (f"# li={r['li']} step_ms={1000*r['step_s']:.3f} "
+         f"steps_per_dispatch={k} dtype={compute_dtype} "
+         f"pallas={use_pallas} torch_cpu_baseline={baseline}")
+    if r["executed_flops"]:
+        d += (f" executed_gflops={r['executed_flops']/1e9:.1f}"
+              f" model_gflops={r['model_flops']/1e9:.1f}"
+              f" sustained_tflops={r['executed_flops']/r['step_s']/1e12:.2f}"
+              f" mfu_executed={100*r['executed_flops']/r['step_s']/PEAK_FLOPS:.2f}%"
+              f" mfu_model={100*r['model_flops']/r['step_s']/PEAK_FLOPS:.2f}%"
+              f" (peak={PEAK_FLOPS/1e12:.0f}T, matmul-FLOPs-only approx)")
+    return d
+
+
+def main():
+    compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    k = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "10"))
+
+    res = run_bench(50, k, compute_dtype, use_pallas)
     baseline = load_torch_baseline()
-    vs = qps / baseline if baseline else None
+    vs = res["qps"] / baseline if baseline else None
     result = {
         "metric": "qa_pairs_per_sec_per_chip",
-        "value": round(qps, 2),
+        "value": round(res["qps"], 2),
         "unit": "qa/s",
         "vs_baseline": round(vs, 2) if vs else None,
     }
     print(json.dumps(result))
     # secondary detail to stderr (not part of the contract line)
-    detail = (f"# step_ms={1000*step_s:.3f} steps_per_dispatch={k} "
-              f"dtype={compute_dtype} pallas={use_pallas} devices={n_dev} "
-              f"torch_cpu_baseline={baseline}")
-    if flops_per_step:
-        detail += (f" gflops_per_step={flops_per_step/1e9:.1f} "
-                   f"sustained_tflops={tflops:.2f} "
-                   f"mfu={100*mfu:.2f}% (peak={PEAK_FLOPS/1e12:.0f}T)")
-    print(detail, file=sys.stderr)
+    print(detail_line(res, k, compute_dtype, use_pallas, baseline),
+          file=sys.stderr)
+    if os.environ.get("BENCH_STRETCH", "1") == "1":
+        # Li=100 stretch shape (1 fps frame_interval=3 config; the
+        # context-parallel story's motivating shape, docs/BENCH.md)
+        k100 = min(k, 4)  # K-stacked f32 batch must fit HBM at Li=100
+        stretch = run_bench(100, k100, compute_dtype, use_pallas)
+        print(detail_line(stretch, k100, compute_dtype, use_pallas,
+                          baseline), file=sys.stderr)
     return result
 
 

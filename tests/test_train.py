@@ -122,6 +122,32 @@ class TestPipeline:
         order2 = [meta["qid"] for _, meta, _ in pipe]  # epoch 2
         assert order1 != order2
 
+    def test_att_entry_cap_overflow_is_loud(self, tmp_path):
+        """An example with more positive attention cells than att_entry_cap
+        must raise (the att loss would silently drop positives —
+        losses.py top-k)."""
+        cfg = small_cfg(tmp_path, att_entry_cap=3)
+        ds = SyntheticTVQADataset(cfg, 4, mode="train")
+        base = ds[0]
+
+        class Overflowing:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                ex = dict(base)
+                labels = np.ones((2, 2, 2), np.float32)  # 8 positives > 3
+                ex["att_labels_dense"] = (labels, np.ones_like(labels))
+                return ex
+
+        pipe = DataPipeline(Overflowing(), cfg, mesh=None, batch_size=4)
+        with pytest.raises(ValueError, match="att_entry_cap"):
+            list(pipe)
+        # inference excludes att labels -> no guard
+        pipe = DataPipeline(Overflowing(), cfg, mesh=None, batch_size=4,
+                            exclude_keys=("att_labels", "att_defined"))
+        assert len(list(pipe)) == 1
+
 
 @pytest.mark.slow
 class TestEndToEnd:

@@ -78,14 +78,8 @@ def test_one_optimizer_step_matches_reference(add_local):
                                  weight_decay=3e-7)
 
     outputs, att_loss, _, temporal_loss, _, _ = tmodel.forward_main(tbatch)
-    if add_local:
-        out_scores, targets = outputs if isinstance(outputs, list) else (
-            outputs, tbatch.target)
-    else:
-        out_scores, targets = outputs, tbatch.target
     # reference training path returns [out, target] (stage.py:346)
-    if isinstance(outputs, (list, tuple)):
-        out_scores, targets = outputs
+    out_scores, targets = outputs
     cls_loss = criterion(out_scores, targets) * (
         1.0 * B / len(targets))  # main.py:59
     ref_loss = cls_loss + 0.5 * temporal_loss

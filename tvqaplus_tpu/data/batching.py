@@ -109,7 +109,7 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
     assert len(examples) <= s.batch, f"{len(examples)} > batch {s.batch}"
     out = zeros_batch(s)
     meta = {"qid": [], "vid_name": [], "image_indices": [], "boxes": [],
-            "ts": []}
+            "ts": [], "att_n_pos": []}
 
     from tvqaplus_tpu import native
 
@@ -145,6 +145,7 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
         out["ts_mask"][b, :n_img] = 1.0
         out["anno_st"][b] = ex.get("anno_st_idx", 0)
         att = ex.get("att_labels_dense")
+        n_pos = 0
         if att is not None:
             labels, defined = att
             li = min(labels.shape[0], s.max_img)
@@ -152,11 +153,17 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
             lr = min(labels.shape[2], s.num_region)
             out["att_labels"][b, :li, :lw, :lr] = labels[:li, :lw, :lr]
             out["att_defined"][b, :li, :lw, :lr] = defined[:li, :lw, :lr]
+            # positive-cell count: the att loss extracts at most
+            # cfg.att_entry_cap positives per example (losses.py top-k);
+            # the pipeline asserts on this so a real-data overflow is loud
+            n_pos = int(np.count_nonzero(
+                (labels[:li, :lw, :lr] > 0) & (defined[:li, :lw, :lr] > 0)))
         # --- metadata --------------------------------------------------------
         meta["qid"].append(ex.get("qid", b))
         meta["vid_name"].append(ex.get("vid_name", ""))
         meta["image_indices"].append(ex.get("image_indices", []))
         meta["boxes"].append(ex.get("boxes"))
         meta["ts"].append(ex.get("ts"))
+        meta["att_n_pos"].append(n_pos)
 
     return out, meta

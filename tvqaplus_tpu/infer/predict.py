@@ -142,13 +142,21 @@ class InferenceRunner:
                                 exclude_keys=("att_labels", "att_defined"))
         predictions = {"ts_answer": {}, "raw_bbox": []}
         with_grounding = bool(object_word_ids) and self.cfg.vfeat_flag
+        # annotated-window size for the device-side grounding gather:
+        # monotone non-decreasing with doubling growth per Li bucket, so
+        # the number of infer_step jit variants is O(log Li) per bucket
+        # (each compile is ~60 s through the remote-compile tunnel; the
+        # old per-batch multiple-of-4 bucketing could hit ~Li/4 variants)
+        f_cache = {}
         for batch_idx, (batch, meta, _) in enumerate(pipeline):
             li = batch["ts_mask"].shape[1]     # this bucket's frame axis
-            # bucketed annotated-window size (multiple of 4 -> few jit
-            # variants) for the device-side gather of the grounding scores
             f_need = max((len(bx) for bx in meta["boxes"] if bx),
                          default=0)
-            f_max = min(li, -(-max(f_need, 1) // 4) * 4)
+            f_max = f_cache.get(li, 4)
+            while f_max < f_need:
+                f_max *= 2
+            f_max = min(li, f_max)
+            f_cache[li] = f_max
             out = self._infer_step(self.params, batch,
                                    with_grounding=with_grounding,
                                    f_max=f_max)

@@ -30,9 +30,8 @@ Dropout (training path):
 The backward is a REAL Pallas kernel (flash-attention-style: it re-derives
 every intermediate from the saved kernel inputs in VMEM and accumulates
 gradients across grid steps in revisited output blocks).  On non-TPU
-backends (interpret-mode tests) the backward falls back to the pure-JAX
-``reference_impl`` VJP, which is only valid for dropout_rate == 0 — callers
-gate the dropout path on ``jax.default_backend() == "tpu"``.
+backends the SAME backward kernel runs in Pallas interpret mode (slow but
+exact); ``reference_impl`` exists only as the oracle for parity tests.
 """
 from __future__ import annotations
 
@@ -449,8 +448,9 @@ def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
 
 
 def reference_impl(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, scale):
-    """Pure-JAX equivalent (no dropout) — numerics oracle + non-TPU
-    custom-vjp backward path."""
+    """Pure-JAX equivalent (no dropout) — numerics oracle for parity tests
+    (the production backward is always the Pallas kernel; interpret mode
+    off-TPU)."""
     s = jnp.einsum("bawd,bird->baiwr", cn, qn)
     s_mask = c_mask[:, :, None, :, None] * q_mask[:, None, :, None, :]
     masked = s - 1e10 * (1.0 - s_mask)

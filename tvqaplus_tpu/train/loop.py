@@ -57,6 +57,10 @@ def log_crossing(prev_steps, new_steps, log_freq):
     triggers iff that interval contains a multiple of ``log_freq``.  Returns
     (triggered, batch_index-of-the-log-point).
     """
+    assert new_steps - prev_steps <= log_freq, (
+        "a dispatch interval spanning more than one log_freq multiple would "
+        "silently skip log/validate points; lower steps_per_dispatch "
+        f"({new_steps - prev_steps}) or raise log_freq ({log_freq})")
     if prev_steps == 0:
         return True, 0
     if (prev_steps - 1) // log_freq != (new_steps - 1) // log_freq:
@@ -252,7 +256,7 @@ class Trainer:
         meters = {k: AverageMeter() for k in
                   ("dataloading", "forward_backward")}
         window = {"loss": [], "loss_att": [], "loss_ts": [], "loss_cls": [],
-                  "n_correct": 0.0, "n": 0.0}
+                  "att_dropped": [], "n_correct": 0.0, "n": 0.0}
         valid_acc_log = ["batch_idx\tacc"]
         n_steps = len(pipeline)  # optimizer steps, not dispatches
         steps_done = 0           # optimizer steps completed so far
@@ -278,6 +282,8 @@ class Trainer:
             # per-step host sync)
             for k in ("loss", "loss_att", "loss_ts", "loss_cls"):
                 window[k].append(metrics[k])
+            if "att_n_pos_dropped" in metrics:
+                window["att_dropped"].append(metrics["att_n_pos_dropped"])
             window["n_correct"] += metrics["n_correct"]
             window["n"] += metrics["n_eff"]
 
@@ -301,6 +307,13 @@ class Trainer:
                                            sum(window["loss_cls"]) / n, niter)
                     self.logger.add_scalar("Train/Loss_ts",
                                            sum(window["loss_ts"]) / n, niter)
+                    if window["att_dropped"]:
+                        # silent-truncation canary: positives beyond
+                        # att_entry_cap dropped by the att loss (total
+                        # over the window; should be 0)
+                        self.logger.add_scalar(
+                            "Train/Att_pos_dropped",
+                            sum(window["att_dropped"]), niter)
                 if valid_dataset is not None:
                     valid_acc, valid_loss, _ = self.validate(valid_dataset)
                     self.logger.add_scalar("Valid/Acc", valid_acc, niter)
@@ -313,7 +326,8 @@ class Trainer:
                                   epoch=epoch)
                     dataset.set_mode("train")
                     window = {"loss": [], "loss_att": [], "loss_ts": [],
-                              "loss_cls": [], "n_correct": 0.0, "n": 0.0}
+                              "loss_cls": [], "att_dropped": [],
+                              "n_correct": 0.0, "n": 0.0}
             if profiling and batch_idx >= 12:
                 jax.profiler.stop_trace()
                 profiling = False
