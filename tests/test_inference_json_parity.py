@@ -79,6 +79,9 @@ class _EDict(dict):
 def _torch_batch(arrays, meta, object_word_ids):
     import torch
     a = {k: np.ascontiguousarray(v) for k, v in arrays.items()}
+    if "sub_bert" not in a:  # dedup contract -> reference's expanded layout
+        from tvqaplus_tpu.data.batching import expand_sub_windows
+        a["sub_bert"] = np.ascontiguousarray(expand_sub_windows(a))
     return _EDict(
         qid=list(meta["qid"]),
         vid_name=list(meta["vid_name"]),

@@ -1,0 +1,143 @@
+"""Subtitle token-dedup contract (config.py sub_dedup).
+
+The reference h5 stores one token stream per video and the pipeline expands
+per-frame aligned windows from it (tvqa_dataset.py:164-185).  The dedup
+batch contract uploads the stream once (sub_tokens + sub_win_idx) and the
+model gathers windows on device after the token-pointwise bridge +
+input_embedding (stage.py).  These tests pin the invariant that makes that
+an *optimization* rather than a model change: identical numerics to the
+expanded contract at eval, including the zero-token trick for padded slots
+(expanded zero padding rows pass through the bridge too, producing
+bridge(0) != 0 — the dedup path must reproduce exactly that).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvqaplus_tpu.config import Config
+from tvqaplus_tpu.data.batching import (
+    StaticShapeSpec,
+    collate_static,
+    expand_sub_windows,
+)
+from tvqaplus_tpu.data.pipeline import DataPipeline
+from tvqaplus_tpu.data.synthetic import SyntheticTVQADataset
+from tvqaplus_tpu.models.stage import STAGE, ModelConfig
+from tvqaplus_tpu.models import losses
+
+
+def small_cfg(tmp_path, **kw):
+    kw.setdefault("max_sub_tokens", 64)
+    kw.setdefault("add_local", True)
+    cfg = Config(bsz=4, test_bsz=4, hsz=16, embedding_size=24, vfeat_size=12,
+                 max_qa_l=10, max_sub_l=8, max_num_img=6, num_region=5,
+                 img_buckets=[6], max_q_l=4, max_a_l=4, use_sup_att=True,
+                 synthetic_data=True,
+                 results_dir_base=str(tmp_path / "results"), **kw)
+    cfg.finalize(save=False)
+    return cfg
+
+
+def _both_batches(cfg, n=4):
+    """Collate the same examples under both contracts."""
+    ds = SyntheticTVQADataset(cfg, n, mode="train")
+    examples = [ds[i] for i in range(n)]
+    spec_d = StaticShapeSpec.from_config(cfg, batch=n, max_img=6)
+    assert spec_d.max_sub_tokens > 0
+    spec_e = dataclasses.replace(spec_d, max_sub_tokens=0)
+    dedup, meta_d = collate_static(examples, spec_d)
+    expanded, meta_e = collate_static(examples, spec_e)
+    return dedup, expanded, meta_d, meta_e
+
+
+class TestCollate:
+    def test_window_reconstruction_is_exact(self, tmp_path):
+        dedup, expanded, meta_d, _ = _both_batches(small_cfg(tmp_path))
+        assert max(meta_d["sub_tok_overflow"]) == 0
+        np.testing.assert_array_equal(dedup["sub_mask"],
+                                      expanded["sub_mask"])
+        np.testing.assert_array_equal(expand_sub_windows(dedup),
+                                      expanded["sub_bert"])
+
+    def test_fallback_synthesizes_stream_from_windows(self, tmp_path):
+        """Examples without a stream (only expanded windows) still collate
+        under the dedup contract, bit-identically."""
+        cfg = small_cfg(tmp_path, max_sub_tokens=256)
+        ds = SyntheticTVQADataset(cfg, 2, mode="train")
+        examples = []
+        for i in range(2):
+            ex = dict(ds[i])
+            ex.pop("sub_tokens")
+            ex.pop("sub_win_spans")
+            examples.append(ex)
+        spec = StaticShapeSpec.from_config(cfg, batch=2, max_img=6)
+        dedup, meta = collate_static(examples, spec)
+        spec_e = dataclasses.replace(spec, max_sub_tokens=0)
+        expanded, _ = collate_static(examples, spec_e)
+        assert max(meta["sub_tok_overflow"]) == 0
+        np.testing.assert_array_equal(expand_sub_windows(dedup),
+                                      expanded["sub_bert"])
+
+    def test_overflow_is_loud(self, tmp_path):
+        cfg = small_cfg(tmp_path, max_sub_tokens=8)  # 7 usable slots
+        ds = SyntheticTVQADataset(cfg, 4, mode="train")
+        pipe = DataPipeline(ds, cfg, mesh=None, batch_size=4)
+        with pytest.raises(ValueError, match="max_sub_tokens"):
+            list(pipe)
+
+
+class TestModelEquivalence:
+    @pytest.mark.parametrize("add_local", [False, True])
+    def test_forward_and_grads_match_expanded(self, tmp_path, add_local):
+        """Full training loss + gradients agree between contracts at
+        dropout=0 (same params; the dedup path is a pure re-factoring of
+        the compute graph)."""
+        cfg = small_cfg(tmp_path, add_local=add_local)
+        dedup, expanded, _, _ = _both_batches(cfg)
+        model = STAGE(ModelConfig.from_config(cfg))
+        params = model.init({"params": jax.random.PRNGKey(0)}, expanded,
+                            train=False)["params"]
+
+        def loss_fn(p, batch):
+            out = model.apply({"params": p}, batch, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(1)})
+            loss, metrics = losses.total_loss(
+                out, batch, jax.random.PRNGKey(2), use_sup_att=True,
+                entry_cap=cfg.att_entry_cap, train=True)
+            return loss
+
+        # dropout must be off for bitwise-style agreement
+        model_eval = STAGE(dataclasses.replace(ModelConfig.from_config(cfg),
+                                               dropout=0.0))
+
+        def loss_eval(p, batch):
+            out = model_eval.apply({"params": p}, batch, train=True,
+                                   rngs={"dropout": jax.random.PRNGKey(1)})
+            loss, _ = losses.total_loss(
+                out, batch, jax.random.PRNGKey(2), use_sup_att=True,
+                entry_cap=cfg.att_entry_cap, train=True)
+            return loss
+
+        l_d, g_d = jax.value_and_grad(loss_eval)(params, dedup)
+        l_e, g_e = jax.value_and_grad(loss_eval)(params, expanded)
+        np.testing.assert_allclose(float(l_d), float(l_e), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+            g_d, g_e)
+
+    def test_eval_outputs_match_expanded(self, tmp_path):
+        cfg = small_cfg(tmp_path)
+        dedup, expanded, _, _ = _both_batches(cfg)
+        model = STAGE(ModelConfig.from_config(cfg))
+        params = model.init({"params": jax.random.PRNGKey(0)}, expanded,
+                            train=False)["params"]
+        out_d = model.apply({"params": params}, dedup, train=False)
+        out_e = model.apply({"params": params}, expanded, train=False)
+        for k in ("answer_scores", "t_scores", "sub_raw_s", "vid_raw_s"):
+            np.testing.assert_allclose(np.asarray(out_d[k]),
+                                       np.asarray(out_e[k]),
+                                       rtol=1e-6, atol=1e-6)

@@ -131,6 +131,19 @@ class Config:
     frame_interval: int = 6
     max_num_img: int = 50
     img_buckets: List[int] = field(default_factory=lambda: [16, 32, 50])
+    # Subtitle token dedup.  The reference's h5 stores ONE token stream per
+    # video (SURVEY §2.2: sub_bert h5 key vid_name -> (sum L_tokens, 768))
+    # and its pipeline EXPANDS it into per-frame aligned windows
+    # (tvqa_dataset.py:164-185) — frames share sentences, so the expanded
+    # (B, Li, Ls, 768) batch re-uploads and re-encodes each token ~5-10x.
+    # With sub_dedup the batch carries the unique token stream once
+    # (sub_tokens (B, St, 768)) plus int32 window gather indices; the
+    # 768->300 bridge + input_embedding run per unique token and the
+    # windows are gathered ON DEVICE at hsz — numerically identical at
+    # eval (invalid slots gather a reserved all-zero token = the expanded
+    # path's zero padding), ~5x less upload bandwidth and bridge compute.
+    sub_dedup: bool = True
+    max_sub_tokens: int = 512           # St cap (unique tokens per example)
     max_num_proposal: int = 1           # P = max_num_proposal + 1 slots
     att_entry_cap: int = 128            # max positive att entries per example
     compute_dtype: str = "float32"      # {"float32", "bfloat16"}

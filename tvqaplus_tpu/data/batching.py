@@ -12,6 +12,11 @@ Batch contract (all numpy, fixed shapes; B=batch, A=5 answers):
   qas_bert    (B, A, Lqa, De) f32  fine-tuned BERT token embeddings
   q_l         (B,)         int32   question length (tokens)
   sub_bert    (B, Li, Ls, De) f32  frame-aligned subtitle embeddings
+                                   (expanded contract: spec.max_sub_tokens=0)
+  sub_tokens  (B, St, De)  f32     per-video unique token stream, slot 0
+                                   reserved all-zero (dedup contract)
+  sub_win_idx (B, Li, Ls)  int32   window gather indices into St (0 = the
+                                   zero token, for padded/invalid slots)
   sub_mask    (B, Li, Ls)  f32
   vid         (B, Li, Lr, Dv) f32  per-frame region features
   vid_mask    (B, Li, Lr)  f32
@@ -45,9 +50,11 @@ class StaticShapeSpec:
     num_region: int = 25
     bert_dim: int = 768
     vfeat_dim: int = 300
+    max_sub_tokens: int = 0   # >0: dedup contract (sub_tokens+sub_win_idx)
 
     @classmethod
     def from_config(cls, cfg, batch=None, max_img=None):
+        dedup = getattr(cfg, "sub_dedup", False) and cfg.sub_flag
         return cls(batch=batch or cfg.bsz,
                    num_a=5,
                    max_qa_l=cfg.max_qa_l,
@@ -55,7 +62,8 @@ class StaticShapeSpec:
                    max_sub_l=cfg.max_sub_l,
                    num_region=cfg.num_region,
                    bert_dim=cfg.embedding_size,
-                   vfeat_dim=cfg.vfeat_size)
+                   vfeat_dim=cfg.vfeat_size,
+                   max_sub_tokens=cfg.max_sub_tokens if dedup else 0)
 
     def with_max_img(self, max_img):
         return dataclasses.replace(self, max_img=max_img)
@@ -72,12 +80,24 @@ def pick_bucket(n_img, buckets, cap):
 
 def zeros_batch(spec: StaticShapeSpec):
     s = spec
+    if s.max_sub_tokens:
+        sub_keys = {
+            "sub_tokens": np.zeros((s.batch, s.max_sub_tokens, s.bert_dim),
+                                   np.float32),
+            "sub_win_idx": np.zeros((s.batch, s.max_img, s.max_sub_l),
+                                    np.int32),
+        }
+    else:
+        sub_keys = {
+            "sub_bert": np.zeros((s.batch, s.max_img, s.max_sub_l,
+                                  s.bert_dim), np.float32),
+        }
     return {
         "qas": np.zeros((s.batch, s.num_a, s.max_qa_l), np.int32),
         "qas_mask": np.zeros((s.batch, s.num_a, s.max_qa_l), np.float32),
         "qas_bert": np.zeros((s.batch, s.num_a, s.max_qa_l, s.bert_dim), np.float32),
         "q_l": np.zeros((s.batch,), np.int32),
-        "sub_bert": np.zeros((s.batch, s.max_img, s.max_sub_l, s.bert_dim), np.float32),
+        **sub_keys,
         "sub_mask": np.zeros((s.batch, s.max_img, s.max_sub_l), np.float32),
         "vid": np.zeros((s.batch, s.max_img, s.num_region, s.vfeat_dim), np.float32),
         "vid_mask": np.zeros((s.batch, s.max_img, s.num_region), np.float32),
@@ -109,7 +129,7 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
     assert len(examples) <= s.batch, f"{len(examples)} > batch {s.batch}"
     out = zeros_batch(s)
     meta = {"qid": [], "vid_name": [], "image_indices": [], "boxes": [],
-            "ts": [], "att_n_pos": []}
+            "ts": [], "att_n_pos": [], "sub_tok_overflow": []}
 
     from tvqaplus_tpu import native
 
@@ -124,11 +144,15 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
                          out=out["qas_bert"][b], mask=None)
         out["q_l"][b] = ex.get("q_l", 0)
         # --- subtitles ----------------------------------------------------
-        sub_list = (ex.get("sub_bert") or [])[: s.max_img]
-        if sub_list:
-            native.pad_batch(sub_list, s.max_sub_l, s.bert_dim,
-                             out=out["sub_bert"][b, : len(sub_list)],
-                             mask=out["sub_mask"][b, : len(sub_list)])
+        if s.max_sub_tokens:
+            n_sub, n_over = _collate_sub_dedup(ex, s, out, b)
+        else:
+            sub_list = (ex.get("sub_bert") or [])[: s.max_img]
+            n_sub, n_over = len(sub_list), 0
+            if sub_list:
+                native.pad_batch(sub_list, s.max_sub_l, s.bert_dim,
+                                 out=out["sub_bert"][b, : len(sub_list)],
+                                 mask=out["sub_mask"][b, : len(sub_list)])
         # --- video regions --------------------------------------------------
         vid_list = (ex.get("vfeat") or [])[: s.max_img]
         if vid_list:
@@ -138,7 +162,7 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
         # --- labels ---------------------------------------------------------
         out["target"][b] = ex.get("target", 999)
         ts = ex.get("ts_label", [0, 0])
-        n_img = len(ex.get("image_indices", [])) or max(len(sub_list), len(vid_list))
+        n_img = len(ex.get("image_indices", [])) or max(n_sub, len(vid_list))
         n_img = min(n_img, s.max_img)
         out["ts_st"][b] = min(ts[0], n_img - 1) if n_img else 0
         out["ts_ed"][b] = min(ts[1], n_img - 1) if n_img else 0
@@ -165,5 +189,60 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
         meta["boxes"].append(ex.get("boxes"))
         meta["ts"].append(ex.get("ts"))
         meta["att_n_pos"].append(n_pos)
+        meta["sub_tok_overflow"].append(n_over)
 
     return out, meta
+
+
+def _collate_sub_dedup(ex, s, out, b):
+    """Fill the dedup subtitle contract for example ``b``.
+
+    Preferred example fields: ``sub_tokens`` (n_tok, De) — the per-video
+    unique token stream (the reference h5's native layout,
+    tvqa_dataset.py:171-176) — and ``sub_win_spans``, per-frame (start, len)
+    token ranges (aligned windows are CONSECUTIVE sentences,
+    tvqa_dataset.py:266-280, so each window is a contiguous stream slice).
+    Datasets that only provide expanded ``sub_bert`` windows get a stream
+    synthesized by concatenating them (dedup factor 1, numerics identical).
+
+    Slot 0 of ``sub_tokens`` is reserved all-zero; padded/overflowed window
+    slots gather it, reproducing the expanded path's zero padding ahead of
+    the bridge EXACTLY.  Returns (n_windows, n_overflow_tokens) — tokens
+    beyond the St-1 capacity are dropped (masked), which the pipeline turns
+    into a loud error.
+    """
+    stream = ex.get("sub_tokens")
+    spans = ex.get("sub_win_spans")
+    if stream is None or spans is None:
+        wins = [np.asarray(w)[: s.max_sub_l] for w in
+                (ex.get("sub_bert") or [])[: s.max_img]]
+        if not wins:
+            return 0, 0
+        stream = np.concatenate(wins, axis=0)
+        starts = np.cumsum([0] + [len(w) for w in wins[:-1]])
+        spans = [(int(st), len(w)) for st, w in zip(starts, wins)]
+    spans = spans[: s.max_img]
+    cap = s.max_sub_tokens - 1                 # slot 0 = zero token
+    n_tok = min(len(stream), cap)
+    out["sub_tokens"][b, 1: 1 + n_tok] = stream[:n_tok]
+    n_over = 0
+    for i, (st, ln) in enumerate(spans):
+        ln = min(int(ln), s.max_sub_l)
+        idx = int(st) + np.arange(ln)
+        ok = idx < n_tok
+        n_over += int(ln - ok.sum())
+        out["sub_win_idx"][b, i, :ln] = np.where(ok, idx + 1, 0)
+        out["sub_mask"][b, i, :ln] = ok.astype(np.float32)
+    return len(spans), n_over
+
+
+def expand_sub_windows(arrays):
+    """Host-side reconstruction of the expanded (B, Li, Ls, De) ``sub_bert``
+    from the dedup contract — for consumers of the reference layout
+    (parity harnesses, debug dumps).  Exact: padded slots index the zero
+    token."""
+    tok = np.asarray(arrays["sub_tokens"])
+    idx = np.asarray(arrays["sub_win_idx"])
+    b, li, ls = idx.shape
+    flat = tok[np.arange(b)[:, None], idx.reshape(b, -1)]
+    return flat.reshape(b, li, ls, tok.shape[-1])

@@ -27,7 +27,7 @@ class DataPipeline:
     """Iterable over (device_batch, meta, bucket) tuples."""
 
     # large float inputs that may be cast to bf16 on host before upload
-    _BF16_KEYS = ("qas_bert", "sub_bert", "vid")
+    _BF16_KEYS = ("qas_bert", "sub_bert", "sub_tokens", "vid")
 
     def __init__(self, dataset, cfg, mesh=None, batch_size=16, shuffle=False,
                  seed=0, drop_last=False, prefetch_depth=2, group=1,
@@ -87,6 +87,15 @@ class DataPipeline:
                         f"cells > att_entry_cap={self.cfg.att_entry_cap}; "
                         f"raise --att_entry_cap (the loss would silently "
                         f"drop positives)")
+            n_over = max(meta.get("sub_tok_overflow", [0]), default=0)
+            if n_over:
+                # dedup contract capacity overflow: dropped tokens would
+                # silently diverge from the expanded reference windows
+                raise ValueError(
+                    f"an example's subtitle windows need {n_over} more "
+                    f"unique tokens than max_sub_tokens="
+                    f"{self.cfg.max_sub_tokens}; raise --max_sub_tokens "
+                    f"(or disable --sub_dedup)")
             for k in self.exclude_keys:
                 arrays.pop(k, None)
             if self.cast_bf16:

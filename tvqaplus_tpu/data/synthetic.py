@@ -78,13 +78,37 @@ class SyntheticTVQADataset:
             qas_bert.append(np.concatenate(
                 [q_bert, bert_tokens(int(a_ls[a]), planted=(a == target))], axis=0))
 
-        sub_bert = []
-        for i in range(n_img):
-            n_tok = int(rng.integers(4, cfg.max_sub_l + 1))
+        # subtitle SENTENCE STREAM + aligned windows, mirroring the real
+        # pipeline (tvqa_dataset.py:164-185): one token stream per video,
+        # each frame's window = the 2 nearest sentences (consecutive), so
+        # adjacent frames share sentences — the structure sub_dedup exploits.
+        video_len_s = n_img * 2.0                      # 0.5 fps grid
+        n_sent = max(2, int(video_len_s / 3.5) + 1)
+        sent_times = np.sort(rng.uniform(0.0, video_len_s, size=n_sent))
+        sent_toks = []
+        for si in range(n_sent):
+            n_tok = int(rng.integers(4, 17))
             x = rng.standard_normal((n_tok, self.bert_dim)).astype(np.float32)
-            if self.planted and st <= i <= ed:
+            # planted signal rides sentences whose start time falls in the
+            # GT span (frames st..ed cover [st*2, (ed+1)*2) seconds)
+            if self.planted and st * 2.0 <= sent_times[si] < (ed + 1) * 2.0:
                 x = x + 2.0 * sig_b
-            sub_bert.append(x)
+            sent_toks.append(x)
+        sent_starts = np.cumsum([0] + [len(t) for t in sent_toks])
+        sub_tokens = np.concatenate(sent_toks, axis=0)
+        sub_bert, sub_win_spans = [], []
+        for i in range(n_img):
+            t_frame = (i + 0.5) * 2.0
+            s0 = int(np.argmin(np.abs(sent_times - t_frame)))
+            lo, hi = (s0 - 1, s0) if (s0 > 0 and (
+                s0 == n_sent - 1
+                or abs(sent_times[s0 - 1] - t_frame)
+                <= abs(sent_times[s0 + 1] - t_frame))) else (s0, min(
+                    s0 + 1, n_sent - 1))
+            start = int(sent_starts[lo])
+            length = min(int(sent_starts[hi + 1]) - start, cfg.max_sub_l)
+            sub_win_spans.append((start, length))
+            sub_bert.append(sub_tokens[start: start + length])
 
         region_cnts = rng.integers(5, self.num_region + 1, size=n_img)
         vfeat, att_imgs = [], []
@@ -117,6 +141,8 @@ class SyntheticTVQADataset:
             "qas_bert": qas_bert,
             "q_l": q_l,
             "sub_bert": sub_bert,
+            "sub_tokens": sub_tokens,
+            "sub_win_spans": sub_win_spans,
             "vfeat": vfeat,
             "target": target if not self.inference else 999,
             "ts_label": [st, ed],

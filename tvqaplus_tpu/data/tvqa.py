@@ -184,6 +184,20 @@ class TVQAPlusDataset:
             items["sub_bert"] = [
                 np.concatenate([chunks[i] for i in idxs], axis=0)
                 for idxs in aligned_idx]
+            # dedup contract: the h5's native one-stream-per-video layout
+            # plus per-frame (start, len) spans — aligned windows are
+            # consecutive sentences (sampling.py find_match), so each is a
+            # contiguous stream slice.  Non-consecutive windows (never
+            # produced by the current modes) would fall back to the
+            # expanded sub_bert in collate.
+            starts = np.cumsum([0] + [len(c) for c in chunks])
+            if all(list(idxs) == list(range(idxs[0], idxs[-1] + 1))
+                   for idxs in aligned_idx if idxs):
+                items["sub_tokens"] = np.concatenate(chunks, axis=0)
+                items["sub_win_spans"] = [
+                    (int(starts[idxs[0]]),
+                     int(starts[idxs[-1] + 1] - starts[idxs[0]]))
+                    if idxs else (0, 0) for idxs in aligned_idx]
             aligned_text = get_aligned_sub(sub["sub_text"], aligned_idx)
             items["sub"] = [self.vocab.numericalize(t, eos=False)
                             for t in aligned_text]

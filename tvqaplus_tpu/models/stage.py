@@ -261,9 +261,30 @@ class STAGE(nn.Module):
         attended_sub = attended_vid = None
         attended_sub_mask = attended_vid_mask = None
         if c.sub_flag:
-            sub_embed = self.base_encoder(
-                batch["sub_bert"], batch["sub_mask"],
-                self.bert_word_encoding_fc, train=train)
+            if "sub_tokens" in batch:
+                # dedup contract (config.py sub_dedup): the bridge +
+                # input_embedding (both token-pointwise, reference
+                # stage.py:85-120) run ONCE per unique subtitle token of
+                # the video stream — the reference h5's native layout —
+                # and the frame-aligned windows (tvqa_dataset.py:164-185)
+                # are gathered at hsz on device.  Invalid window slots
+                # gather the reserved all-zero token 0, whose encoding
+                # equals the expanded path's bridge(0) padding rows, so
+                # the conv encoder sees identical inputs.
+                tok = self.bert_word_encoding_fc(batch["sub_tokens"],
+                                                 train=train)
+                tok = self.input_embedding(tok, train=train)  # (B, St, h)
+                idx = batch["sub_win_idx"]                    # (B, Li, Ls)
+                bsz_, li_, ls_ = idx.shape
+                win = jnp.take_along_axis(
+                    tok, idx.reshape(bsz_, li_ * ls_)[..., None], axis=1)
+                win = win.reshape(bsz_, li_, ls_, tok.shape[-1])
+                sub_embed = self.input_encoder(win, batch["sub_mask"],
+                                               train=train)
+            else:
+                sub_embed = self.base_encoder(
+                    batch["sub_bert"], batch["sub_mask"],
+                    self.bert_word_encoding_fc, train=train)
             sub_embed = sub_embed[:, None]              # (B, 1, Li, Ls, h)
             sub_mask = batch["sub_mask"][:, None]
             attended_sub, attended_sub_mask, sub_raw_s, sub_norm_s = \

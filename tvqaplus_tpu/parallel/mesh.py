@@ -23,8 +23,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # batch keys that carry the sampled-image axis Li at dim 1
-_LI_KEYS = ("sub_bert", "sub_mask", "vid", "vid_mask", "ts_mask",
-            "att_labels", "att_defined")
+# (sub_tokens is NOT here: its dim 1 is the unique-token axis St, sharded
+# over data only; the window gather redistributes onto the ctx-sharded Li)
+_LI_KEYS = ("sub_bert", "sub_win_idx", "sub_mask", "vid", "vid_mask",
+            "ts_mask", "att_labels", "att_defined")
 
 
 def make_mesh(mesh_shape=(-1, 1), devices=None):
