@@ -179,6 +179,7 @@ def _adopt_ref_floats(ours, ref, tol=1e-4):
 def test_prediction_json_bytes_match_reference(tmp_path):
     import torch
     import jax
+    from tvqaplus_tpu.data.batching import ATT_KEYS
     from tvqaplus_tpu.data.pipeline import DataPipeline
     from tvqaplus_tpu.data.synthetic import SyntheticTVQADataset
     from tvqaplus_tpu.infer.predict import InferenceRunner
@@ -200,7 +201,7 @@ def test_prediction_json_bytes_match_reference(tmp_path):
 
     tmodel = _ref_model(cfg, params, model.cfg)
     ref_pipe = DataPipeline(ds, cfg, mesh=None, batch_size=cfg.test_bsz,
-                            exclude_keys=("att_labels", "att_defined"))
+                            exclude_keys=ATT_KEYS)
     with torch.no_grad():
         ref = _reference_inference(cfg, tmodel, ref_pipe,
                                    set(object_word_ids))

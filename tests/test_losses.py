@@ -284,3 +284,52 @@ def test_total_loss_composition():
     expected = (metrics["loss_cls"] + metrics["loss_ts"]
                 + metrics["loss_att"])
     assert abs(float(loss) - float(expected)) < 1e-5
+
+
+def test_att_loss_entries_path_matches_dense():
+    """The production batch contract precomputes entry extraction host-side
+    (labels.att_entries_from_dense); it must give the same loss+gradients as
+    the dense on-device path for both sampling modes."""
+    from tvqaplus_tpu.data.labels import att_entries_from_dense
+    rng = np.random.default_rng(11)
+    b, a, li, lw, lr = 2, 5, 4, 6, 5
+    scores = rng.uniform(-1, 1, (b, a, li, lw, lr)).astype(np.float32)
+    labels = (rng.uniform(0, 1, (b, li, lw, lr)) > 0.85).astype(np.float32)
+    defined = (rng.uniform(0, 1, (b, li, lw, lr)) > 0.3).astype(np.float32)
+    targets = np.array([1, 3])
+    cap = 16
+    batch = {k: np.zeros(s, d) for k, s, d in [
+        ("att_entry_idx", (b, cap), np.int32),
+        ("att_entry_valid", (b, cap), np.float32),
+        ("att_neg_rows", (b, cap, lr), np.float32),
+        ("att_entry_rank", (b, cap), np.int32),
+        ("att_group_npos", (b, cap), np.float32),
+        ("att_n_pos", (b,), np.float32)]}
+    for i in range(b):
+        (batch["att_entry_idx"][i], batch["att_entry_valid"][i],
+         batch["att_neg_rows"][i], batch["att_entry_rank"][i],
+         batch["att_group_npos"][i]) = att_entries_from_dense(
+            labels[i], defined[i], cap)
+        batch["att_n_pos"][i] = ((labels[i] > 0) & (defined[i] > 0)).sum()
+
+    for hard in (False, True):
+        def loss_dense(s):
+            l, _ = losses.att_loss(
+                s, jnp.array(labels), jnp.array(defined), jnp.array(targets),
+                jnp.ones(b, np.float32), jax.random.PRNGKey(3),
+                use_hard_negatives=hard, entry_cap=cap)
+            return l
+
+        def loss_entries(s):
+            l, _ = losses.att_loss(
+                s, None, None, jnp.array(targets),
+                jnp.ones(b, np.float32), jax.random.PRNGKey(3),
+                use_hard_negatives=hard, entry_cap=cap,
+                entries={k: jnp.array(v) for k, v in batch.items()})
+            return l
+
+        ld, gd = jax.value_and_grad(loss_dense)(jnp.array(scores))
+        le, ge = jax.value_and_grad(loss_entries)(jnp.array(scores))
+        np.testing.assert_allclose(float(ld), float(le), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(ge),
+                                   rtol=1e-6, atol=1e-7)

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import pytest
 
 from tvqaplus_tpu.config import Config
+from tvqaplus_tpu.data.batching import ATT_KEYS
 from tvqaplus_tpu.data.pipeline import DataPipeline
 from tvqaplus_tpu.data.synthetic import SyntheticTVQADataset
 from tvqaplus_tpu.parallel.mesh import make_mesh
@@ -145,7 +146,7 @@ class TestPipeline:
             list(pipe)
         # inference excludes att labels -> no guard
         pipe = DataPipeline(Overflowing(), cfg, mesh=None, batch_size=4,
-                            exclude_keys=("att_labels", "att_defined"))
+                            exclude_keys=ATT_KEYS)
         assert len(list(pipe)) == 1
 
 

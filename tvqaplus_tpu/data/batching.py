@@ -40,6 +40,11 @@ from typing import List
 import numpy as np
 
 
+# supervised-attention batch keys (excluded from inference pipelines)
+ATT_KEYS = ("att_labels", "att_defined", "att_entry_idx", "att_entry_valid",
+            "att_neg_rows", "att_entry_rank", "att_group_npos", "att_n_pos")
+
+
 @dataclass(frozen=True)
 class StaticShapeSpec:
     batch: int = 16
@@ -51,6 +56,7 @@ class StaticShapeSpec:
     bert_dim: int = 768
     vfeat_dim: int = 300
     max_sub_tokens: int = 0   # >0: dedup contract (sub_tokens+sub_win_idx)
+    att_entry_cap: int = 128  # E: static positive-entry slots (labels.py)
 
     @classmethod
     def from_config(cls, cfg, batch=None, max_img=None):
@@ -63,7 +69,8 @@ class StaticShapeSpec:
                    num_region=cfg.num_region,
                    bert_dim=cfg.embedding_size,
                    vfeat_dim=cfg.vfeat_size,
-                   max_sub_tokens=cfg.max_sub_tokens if dedup else 0)
+                   max_sub_tokens=cfg.max_sub_tokens if dedup else 0,
+                   att_entry_cap=cfg.att_entry_cap)
 
     def with_max_img(self, max_img):
         return dataclasses.replace(self, max_img=max_img)
@@ -105,8 +112,16 @@ def zeros_batch(spec: StaticShapeSpec):
         "ts_st": np.zeros((s.batch,), np.int32),
         "ts_ed": np.zeros((s.batch,), np.int32),
         "ts_mask": np.zeros((s.batch, s.max_img), np.float32),
-        "att_labels": np.zeros((s.batch, s.max_img, s.max_qa_l, s.num_region), np.float32),
-        "att_defined": np.zeros((s.batch, s.max_img, s.max_qa_l, s.num_region), np.float32),
+        # supervised-attention entries, precomputed host-side from the dense
+        # labels (labels.att_entries_from_dense) — replaces uploading the two
+        # dense (B, Li, Lqa, Lr) arrays and the device-side top_k extraction
+        "att_entry_idx": np.zeros((s.batch, s.att_entry_cap), np.int32),
+        "att_entry_valid": np.zeros((s.batch, s.att_entry_cap), np.float32),
+        "att_neg_rows": np.zeros((s.batch, s.att_entry_cap, s.num_region),
+                                 np.float32),
+        "att_entry_rank": np.zeros((s.batch, s.att_entry_cap), np.int32),
+        "att_group_npos": np.zeros((s.batch, s.att_entry_cap), np.float32),
+        "att_n_pos": np.zeros((s.batch,), np.float32),
         "anno_st": np.zeros((s.batch,), np.int32),
         "ex_mask": np.zeros((s.batch,), np.float32),
     }
@@ -175,13 +190,19 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
             li = min(labels.shape[0], s.max_img)
             lw = min(labels.shape[1], s.max_qa_l)
             lr = min(labels.shape[2], s.num_region)
-            out["att_labels"][b, :li, :lw, :lr] = labels[:li, :lw, :lr]
-            out["att_defined"][b, :li, :lw, :lr] = defined[:li, :lw, :lr]
-            # positive-cell count: the att loss extracts at most
-            # cfg.att_entry_cap positives per example (losses.py top-k);
-            # the pipeline asserts on this so a real-data overflow is loud
-            n_pos = int(np.count_nonzero(
-                (labels[:li, :lw, :lr] > 0) & (defined[:li, :lw, :lr] > 0)))
+            dl = np.zeros((s.max_img, s.max_qa_l, s.num_region), np.float32)
+            dd = np.zeros_like(dl)
+            dl[:li, :lw, :lr] = labels[:li, :lw, :lr]
+            dd[:li, :lw, :lr] = defined[:li, :lw, :lr]
+            from tvqaplus_tpu.data.labels import att_entries_from_dense
+            (out["att_entry_idx"][b], out["att_entry_valid"][b],
+             out["att_neg_rows"][b], out["att_entry_rank"][b],
+             out["att_group_npos"][b]) = att_entries_from_dense(
+                dl, dd, s.att_entry_cap)
+            # positive-cell count: the loss sees at most att_entry_cap
+            # entries; the pipeline asserts on this so an overflow is loud
+            n_pos = int(np.count_nonzero((dl > 0) & (dd > 0)))
+            out["att_n_pos"][b] = n_pos
         # --- metadata --------------------------------------------------------
         meta["qid"].append(ex.get("qid", b))
         meta["vid_name"].append(ex.get("vid_name", ""))

@@ -125,6 +125,50 @@ def densify_att_labels(att_label_list, anno_st_idx, num_img, num_words,
     return labels, defined
 
 
+def att_entries_from_dense(labels, defined, entry_cap):
+    """Dense (Li, Lw, Lr) labels -> static att-loss entry arrays.
+
+    The supervised-attention loss only ever touches the positive cells and
+    their (img, word) groups — all derivable from LABELS, not predictions —
+    so the extraction runs here on host at collate time instead of as a
+    (B, Li*Lw*Lr)-wide ``top_k`` + mask algebra on device every step
+    (profiled 0.38 ms + 25 MB/batch of dense label upload).
+
+    Returns (entry_idx, entry_valid, neg_rows, rank, group_npos):
+      entry_idx   (E,) int32  flat (img, word, region) indices of the first
+                              E positives, ascending (the device top_k's
+                              stable order);
+      entry_valid (E,)  f32   1 for real entries;
+      neg_rows    (E, Lr) f32 the entry's group's sampleable negatives
+                              (defined & label == 0, stage.py:652-665);
+      rank        (E,) int32  the entry's rank among its group's positives
+                              in increasing region order (stage.py:654);
+      group_npos  (E,) int32  positives in the entry's group.
+    """
+    li, lw, lr = labels.shape
+    pos = (labels > 0) & (defined > 0)
+    neg = ((labels == 0) & (defined > 0)).reshape(li * lw, lr)
+    pos2 = pos.reshape(li * lw, lr)
+    flat = np.nonzero(pos.reshape(-1))[0][:entry_cap]
+    e = entry_cap
+    entry_idx = np.zeros(e, np.int32)
+    entry_valid = np.zeros(e, np.float32)
+    neg_rows = np.zeros((e, lr), np.float32)
+    rank = np.zeros(e, np.int32)
+    group_npos = np.zeros(e, np.int32)
+    if len(flat):
+        iw = (flat // lr).astype(np.int64)
+        r = (flat % lr).astype(np.int64)
+        n = len(flat)
+        entry_idx[:n] = flat
+        entry_valid[:n] = 1.0
+        neg_rows[:n] = neg[iw]
+        cums = np.cumsum(pos2[iw], axis=1)
+        rank[:n] = cums[np.arange(n), r] - 1
+        group_npos[:n] = pos2[iw].sum(axis=1)
+    return entry_idx, entry_valid, neg_rows, rank, group_npos
+
+
 def line_to_words(line, eos=True, downcase=True):
     words = line.lower().split() if downcase else line.split()
     return words + [EOS] if eos else words

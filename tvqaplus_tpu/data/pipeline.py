@@ -19,7 +19,12 @@ import threading
 import jax
 import numpy as np
 
-from tvqaplus_tpu.data.batching import StaticShapeSpec, collate_static, pick_bucket
+from tvqaplus_tpu.data.batching import (
+    ATT_KEYS,
+    StaticShapeSpec,
+    collate_static,
+    pick_bucket,
+)
 from tvqaplus_tpu.parallel.mesh import shard_batch
 
 
@@ -76,7 +81,7 @@ class DataPipeline:
             bucket = pick_bucket(n_img, self.buckets, self.cfg.max_num_img)
             spec = self.base_spec.with_max_img(bucket)
             arrays, meta = collate_static(examples, spec)
-            if "att_labels" not in self.exclude_keys:
+            if not self.exclude_keys.intersection(ATT_KEYS):
                 # the att loss silently truncates positives beyond
                 # att_entry_cap (losses.py stable top-k) — fail loudly here
                 # instead, with the observed count (VERDICT r2 weak #5)

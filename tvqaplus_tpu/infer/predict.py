@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tvqaplus_tpu.data.batching import ATT_KEYS
 from tvqaplus_tpu.models import losses, spans
 from tvqaplus_tpu.ops.masking import safe_softmax
 
@@ -139,7 +140,7 @@ class InferenceRunner:
                                 batch_size=self.cfg.test_bsz, shuffle=False,
                                 prefetch_depth=self.cfg.prefetch_depth,
                                 # training-only tensors: skip the upload
-                                exclude_keys=("att_labels", "att_defined"))
+                                exclude_keys=ATT_KEYS)
         predictions = {"ts_answer": {}, "raw_bbox": []}
         with_grounding = bool(object_word_ids) and self.cfg.vfeat_flag
         # annotated-window size for the device-side grounding gather:

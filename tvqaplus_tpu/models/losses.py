@@ -88,7 +88,7 @@ def ts_loss(t_scores, ts_st, ts_ed, targets, ex_mask):
 def att_loss(scores, att_labels, att_defined, targets, ex_mask, rng,
              num_negatives=2, loss_type="lse", margin=0.1, alpha=20.0,
              use_hard_negatives=False, drop_topk=0, negative_pool_size=0,
-             num_hard=2, entry_cap=64):
+             num_hard=2, entry_cap=64, entries=None):
     """Vectorized supervised-attention ranking loss.
 
     Args:
@@ -103,28 +103,47 @@ def att_loss(scores, att_labels, att_defined, targets, ex_mask, rng,
     """
     b, _, li, lw, lr = scores.shape
     pred = scores[jnp.arange(b), targets]                    # (B, Li, Lqa, Lr)
-    pos_mask = ((att_labels > 0) & (att_defined > 0)).astype(jnp.float32)
-    pos_mask = pos_mask * ex_mask[:, None, None, None]
-    neg_mask = ((att_labels == 0) & (att_defined > 0)).astype(jnp.float32)
-
     m = li * lw * lr
     entry_cap = min(entry_cap, m)
-    pos_flat = pos_mask.reshape(b, m)
-    # stable top-k: first `entry_cap` positives in (img, word, region)
-    # order.  (A cumsum+scatter compaction was tried — TPU scatter over
-    # (B, 50k) serializes and cost +7 ms/step; the sort is 0.38 ms.)
-    entry_valid, entry_idx = jax.lax.top_k(pos_flat, entry_cap)  # (B, E)
-    n_pos_total = jnp.sum(pos_flat, axis=1)
-    n_pos_dropped = jnp.sum(jnp.maximum(n_pos_total - entry_cap, 0.0))
-
     pred_flat = pred.reshape(b, m)
-    pos_scores = jnp.take_along_axis(pred_flat, entry_idx, axis=1)  # (B, E)
 
-    # group = (img, word) row of the entry
+    if entries is not None:
+        # production path: the entry extraction is pure label algebra, so
+        # the pipeline precomputes it host-side at collate
+        # (labels.att_entries_from_dense) — no dense label upload, no
+        # (B, Li*Lw*Lr)-wide device top_k
+        entry_idx = entries["att_entry_idx"][:, :entry_cap]
+        entry_valid = entries["att_entry_valid"][:, :entry_cap]
+        neg_rows = entries["att_neg_rows"][:, :entry_cap]
+        rank = entries["att_entry_rank"][:, :entry_cap]
+        n_pos_group = entries["att_group_npos"][:, :entry_cap]
+        n_pos_dropped = jnp.sum(jnp.maximum(
+            entries["att_n_pos"] - entry_cap, 0.0))
+    else:
+        pos_mask = ((att_labels > 0) & (att_defined > 0)).astype(jnp.float32)
+        pos_mask = pos_mask * ex_mask[:, None, None, None]
+        neg_mask = ((att_labels == 0) & (att_defined > 0)).astype(jnp.float32)
+        pos_flat = pos_mask.reshape(b, m)
+        # stable top-k: first `entry_cap` positives in (img, word, region)
+        # order.  (A cumsum+scatter compaction was tried — TPU scatter over
+        # (B, 50k) serializes and cost +7 ms/step; the sort is 0.38 ms.)
+        entry_valid, entry_idx = jax.lax.top_k(pos_flat, entry_cap)  # (B, E)
+        n_pos_total = jnp.sum(pos_flat, axis=1)
+        n_pos_dropped = jnp.sum(jnp.maximum(n_pos_total - entry_cap, 0.0))
+        iw = entry_idx // lr
+        r_idx = entry_idx % lr
+        neg_rows = jnp.take_along_axis(
+            neg_mask.reshape(b, li * lw, lr), iw[..., None], axis=1)
+        pos_rows = jnp.take_along_axis(
+            pos_mask.reshape(b, li * lw, lr), iw[..., None], axis=1)
+        cums = jnp.cumsum(pos_rows, axis=-1)
+        # entry's rank among its group's positives (reference iterates
+        # regions in increasing order, stage.py:654)
+        rank = jnp.take_along_axis(cums, r_idx[..., None], axis=-1)[..., 0] - 1
+        n_pos_group = jnp.sum(pos_rows, axis=-1)               # (B, E)
+
+    pos_scores = jnp.take_along_axis(pred_flat, entry_idx, axis=1)  # (B, E)
     iw_idx = entry_idx // lr                                  # (B, E)
-    r_idx = entry_idx % lr
-    neg_rows = jnp.take_along_axis(
-        neg_mask.reshape(b, li * lw, lr), iw_idx[..., None], axis=1)  # (B,E,Lr)
     score_rows = jnp.take_along_axis(
         pred_flat.reshape(b, li * lw, lr), iw_idx[..., None], axis=1)
     n_neg = jnp.sum(neg_rows, axis=-1)                         # (B, E)
@@ -141,13 +160,6 @@ def att_loss(scores, att_labels, att_defined, targets, ex_mask, rng,
         # negatives sorted by predicted score, descending; non-negatives last
         neg_scores_sorted_idx = jnp.argsort(
             -jnp.where(neg_rows > 0, score_rows, -jnp.inf), axis=-1)  # (B,E,Lr)
-        # entry's rank among its group's positives (reference iterates
-        # regions in increasing order, stage.py:654)
-        pos_rows = jnp.take_along_axis(
-            pos_mask.reshape(b, li * lw, lr), iw_idx[..., None], axis=1)
-        cums = jnp.cumsum(pos_rows, axis=-1)
-        rank = jnp.take_along_axis(cums, r_idx[..., None], axis=-1)[..., 0] - 1
-        n_pos_group = jnp.sum(pos_rows, axis=-1)               # (B, E)
         ks = jnp.arange(k)[None, None, :]
         if negative_pool_size > num_negatives:
             # sample within rank windows: hard pool then easy remainder
@@ -212,14 +224,16 @@ def total_loss(outputs, batch, rng, *, att_weight=0.1, ts_weight=0.5,
     }
     loss = c_loss + ts_weight * t_loss
     if use_sup_att and train and vfeat_flag:
+        entries = batch if "att_entry_idx" in batch else None
         a_loss, aux = att_loss(
-            outputs["vid_raw_s"], batch["att_labels"], batch["att_defined"],
+            outputs["vid_raw_s"], batch.get("att_labels"),
+            batch.get("att_defined"),
             batch["target"], batch["ex_mask"], rng,
             num_negatives=num_negatives, loss_type=att_loss_type,
             margin=margin, alpha=alpha,
             use_hard_negatives=use_hard_negatives, drop_topk=drop_topk,
             negative_pool_size=negative_pool_size, num_hard=num_hard,
-            entry_cap=entry_cap)
+            entry_cap=entry_cap, entries=entries)
         loss = loss + att_weight * a_loss
         metrics["loss_att"] = att_weight * a_loss
         metrics.update(aux)
