@@ -49,6 +49,14 @@ def main_inference(argv=None):
         state = trainer.state.replace(params=params)
     else:
         ckpt = os.path.join(run_dir, "best_valid.ckpt")
+        if not os.path.exists(ckpt):
+            # best_valid is only written when val acc improves (train
+            # loop mirrors reference main.py); a short/degenerate run may
+            # never beat 0.0 — fall back to the end-of-epoch snapshot
+            last = os.path.join(run_dir, "last.ckpt")
+            if os.path.exists(last):
+                print(f"warning: {ckpt} missing, using {last}")
+                ckpt = last
         state, _ = load_checkpoint(ckpt, trainer.state)
 
     mode = extras.mode

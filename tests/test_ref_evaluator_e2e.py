@@ -1,0 +1,56 @@
+"""Close the loop through the UNMODIFIED reference evaluator
+(VERDICT r2 missing #1): reference-format artifacts -> main.py ->
+inference.py -> subprocess ``/root/reference/eval/eval_tvqa_plus.py`` ->
+four parsed metrics.  The full-dims variant runs via
+``python scripts/ref_eval_e2e.py --full`` (same harness)."""
+import os
+import sys
+
+import pytest
+
+import main as train_main
+import inference as infer_main
+
+REF_EVAL = "/root/reference/eval/eval_tvqa_plus.py"
+pytestmark = pytest.mark.skipif(not os.path.isfile(REF_EVAL),
+                                reason="reference checkout not available")
+
+
+@pytest.mark.slow
+def test_reference_evaluator_scores_our_predictions(tmp_path, monkeypatch):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from ref_eval_e2e import run_reference_evaluator
+    from tvqaplus_tpu.data.fixtures import gt_as_prediction, write_artifacts
+
+    paths = write_artifacts(str(tmp_path / "artifacts"), n_videos=6,
+                            qa_per_video=2, frames_per_video=42,
+                            bert_dim=24, vfeat_dim=12, num_region=5)
+
+    # evaluator self-check: GT-as-prediction must score ~1.0 on all four
+    # metrics (reference eval/readme.txt:9-18)
+    gt_pred = gt_as_prediction(paths["valid_path"],
+                               str(tmp_path / "gt_as_pred.json"))
+    chk = run_reference_evaluator(gt_pred, paths["valid_path"],
+                                  paths["word2idx_path"], no_preproc=True)
+    assert chk["qa_acc"] == 1.0 and chk["grd_map"] > 0.99 \
+        and chk["miou"] > 0.99 and chk["asa"] > 0.99, chk
+
+    # train briefly + infer on the same artifacts (in-process, CPU mesh)
+    monkeypatch.chdir(tmp_path)
+    flags = [f"--{k}={v}" for k, v in paths.items()] + [
+        "--embedding_size=24", "--vfeat_size=12", "--num_region=5",
+        "--hsz=16", "--n_epoch=1", "--log_freq=2", "--bsz=4",
+        "--test_bsz=4", "--use_sup_att", "--add_local", "--no_core_driver",
+        "--results_dir_base", str(tmp_path / "run")]
+    results_dir, _ = train_main.main(flags)
+    pred_path = infer_main.main_inference(
+        flags + ["--model_dir", results_dir, "--mode", "valid"])
+
+    # the UNMODIFIED evaluator must parse our JSON end-to-end (arg parsing,
+    # load_predictions GT-answer keying, label cleaning, VOC eval) and
+    # return four finite metrics
+    m = run_reference_evaluator(pred_path, paths["valid_path"],
+                                paths["word2idx_path"])
+    assert set(m) == {"qa_acc", "grd_map", "miou", "asa"}
+    assert all(0.0 <= v <= 1.0 for v in m.values()), m
