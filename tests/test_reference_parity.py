@@ -31,7 +31,7 @@ REF_DIMS = dict(B=2, A=5, LI=50, LQA=40, LS=50, LR=25, DE=768, DV=300, H=128)
 TOY_DIMS = dict(B=B, A=A, LI=LI, LQA=LQA, LS=LS, LR=LR, DE=DE, DV=DV, H=H)
 
 
-def _load_reference_stage(add_local, dims=None):
+def _load_reference_stage(add_local, dims=None, t_iter=0):
     import torch  # noqa
     d = dims or TOY_DIMS
     sys.path.insert(0, os.path.join(REF, "model"))
@@ -40,7 +40,7 @@ def _load_reference_stage(add_local, dims=None):
     import importlib
     stage_mod = importlib.import_module("stage")
     opt = SimpleNamespace(
-        sub_flag=True, vfeat_flag=True, vfeat_size=d["DV"], t_iter=0,
+        sub_flag=True, vfeat_flag=True, vfeat_size=d["DV"], t_iter=t_iter,
         extra_span_length=3, add_local=add_local, use_sup_att=False,
         num_negatives=2, negative_pool_size=0, num_hard=2, drop_topk=0,
         margin=0.1, att_loss_type="lse", scale=10.0, alpha=20.0,
@@ -56,12 +56,12 @@ def _load_reference_stage(add_local, dims=None):
     return model
 
 
-def _tiny_flax(add_local, dims=None):
+def _tiny_flax(add_local, dims=None, t_iter=0):
     import jax
     from tvqaplus_tpu.models.stage import STAGE, ModelConfig
     d = dims or TOY_DIMS
     cfg = ModelConfig(hsz=d["H"], bridge_hsz=300, embedding_size=d["DE"],
-                      vfeat_size=d["DV"], add_local=add_local)
+                      vfeat_size=d["DV"], add_local=add_local, t_iter=t_iter)
     model = STAGE(cfg)
     batch = _np_batch(dims=d)
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
@@ -149,9 +149,6 @@ def test_forward_matches_reference_model(add_local, dims):
     import torch
     import jax
 
-    if dims == "ref" and add_local:
-        pytest.skip("ref-dims covered once (runtime); add_local semantics "
-                    "already pinned at toy dims")
     d = REF_DIMS if dims == "ref" else TOY_DIMS
     fmodel, variables = _tiny_flax(add_local, dims=d)
     np_batch = _np_batch(dims=d)
@@ -190,4 +187,39 @@ def test_forward_matches_reference_model(add_local, dims):
         jax.numpy.asarray(out["t_scores"]), np_batch["ts_st"],
         np_batch["ts_ed"], np_batch["target"], np_batch["ex_mask"])
     np.testing.assert_allclose(float(ours_ts), float(t_ts_loss),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_t_iter_chain_matches_reference():
+    """t_iter=2 temporal-refinement chain parity (VERDICT r2 weak #6).
+
+    The reference chain (stage.py:147-178: one LinearWrapper + t_iter
+    ConvLinear projections, t_iter+1 st/ed scoring heads, the residual
+    threading of stage.py:469-482) was previously only self-tested.  Note
+    the reference's own ensemble quirk (stage.py:515-516) makes the final
+    span scores layer-0's regardless of t_iter; this pins the whole
+    forward — answer scores depend on every chain layer through the
+    residual statement encoding.  (``t_layer_type`` is a DEAD flag in the
+    reference — config.py:35 is never read; layers i>0 are always
+    ConvLinear — so this test covers the conv chain too.)"""
+    import torch
+    import jax
+
+    fmodel, variables = _tiny_flax(add_local=False, t_iter=2)
+    np_batch = _np_batch()
+    out = fmodel.apply(variables, np_batch, train=False)
+
+    tmodel = _load_reference_stage(add_local=False, t_iter=2)
+    tmodel = _copy_flax_to_torch(variables["params"], tmodel, fmodel.cfg)
+    tbatch = _torch_batch(np_batch)
+    with torch.no_grad():
+        t_out, _, _, t_ts_loss, t_scores_softmax, _ = \
+            tmodel.forward_main(tbatch)
+
+    np.testing.assert_allclose(
+        np.array(out["answer_scores"]), t_out.numpy(), rtol=1e-4, atol=1e-4)
+    from tvqaplus_tpu.ops.masking import safe_softmax
+    ours_soft = np.array(safe_softmax(out["t_scores"], axis=2))
+    np.testing.assert_allclose(ours_soft, t_scores_softmax.numpy(),
                                rtol=1e-4, atol=1e-4)

@@ -102,3 +102,109 @@ def test_one_optimizer_step_matches_reference(add_local):
         np.testing.assert_allclose(
             np.asarray(val), np.asarray(flat_ref[key]),
             rtol=1e-3, atol=1e-4, err_msg=str(key))
+
+
+@pytest.mark.slow
+def test_combined_step_with_att_loss_matches_reference():
+    """FULL-recipe gradient parity with the supervised-attention loss ON
+    (VERDICT r2 weak #4): loss = cls*(B/len(targets)) + 0.1*att + 0.5*ts
+    (reference main.py:53-60), att loss through forward_main's
+    use_sup_att branch (stage.py:314-338) on the deterministic
+    hard-negative path (no sampling randomness), gradients compared over
+    the whole parameter tree."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from tvqaplus_tpu.models.stage import STAGE, ModelConfig
+    from tvqaplus_tpu.models import losses
+    from tvqaplus_tpu.data.labels import densify_att_labels
+    from tvqaplus_tpu.interop.torch_weights import torch_state_dict_to_flax
+
+    rng = np.random.default_rng(7)
+    np_batch = _np_batch()
+    B_, LI, LQA, LR = (np_batch["ts_mask"].shape[0],
+                       np_batch["ts_mask"].shape[1],
+                       np_batch["qas"].shape[2], np_batch["vid"].shape[2])
+    # ragged att labels in the reference-viable regime (see
+    # test_att_loss_parity.py: start_idx must be 0 — the reference's
+    # hard-negative branch mis-indexes otherwise — <=1 positive per word
+    # row, enough negatives per group for num_negatives=2)
+    ragged, dense_l, dense_d = [], [], []
+    n_words = LQA - 2  # match qas_mask's valid length
+    for b in range(B_):
+        n_img = int(rng.integers(1, LI))
+        per_img = []
+        for _ in range(n_img):
+            cnt = int(rng.integers(4, LR + 1))
+            lab = np.zeros((n_words, cnt), np.float32)
+            for w in range(n_words):
+                if rng.random() < 0.5:
+                    lab[w, rng.integers(0, cnt)] = 1.0
+            per_img.append(lab)
+        ragged.append(per_img)
+        dl, dd = densify_att_labels(per_img, 0, LI, LQA, LR)
+        dense_l.append(dl)
+        dense_d.append(dd)
+    np_batch["att_labels"] = np.stack(dense_l)
+    np_batch["att_defined"] = np.stack(dense_d)
+
+    cfg = ModelConfig(hsz=H, embedding_size=DE, vfeat_size=DV,
+                      add_local=True, dropout=0.0)
+    fmodel = STAGE(cfg)
+    variables = fmodel.init({"params": jax.random.PRNGKey(0)}, np_batch,
+                            train=False)
+    params = variables["params"]
+
+    # ---- our combined step ---------------------------------------------
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+
+    def loss_fn(p):
+        out = fmodel.apply({"params": p}, batch, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        loss, metrics = losses.total_loss(
+            out, batch, jax.random.PRNGKey(2), train=True,
+            use_sup_att=True, use_hard_negatives=True, num_negatives=2,
+            att_weight=0.1, ts_weight=0.5, att_loss_type="lse",
+            entry_cap=64)
+        return loss, metrics
+
+    (ours_loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    # ---- reference combined step ----------------------------------------
+    tmodel = _load_reference_stage(add_local=True)
+    tmodel.use_sup_att = True
+    tmodel.train()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        if hasattr(m, "dropout") and isinstance(
+                getattr(m, "dropout"), float):
+            m.dropout = 0.0
+    tmodel = _copy_flax_to_torch(params, tmodel, cfg)
+    tbatch = _torch_batch(np_batch)
+    tbatch.att_labels = [[torch.from_numpy(a) for a in ex] for ex in ragged]
+    tbatch.use_hard_negatives = True
+
+    outputs, t_att_loss, _, t_ts_loss, _, _ = tmodel.forward_main(tbatch)
+    out_scores, targets = outputs
+    criterion = torch.nn.CrossEntropyLoss(reduction="sum")
+    cls_loss = criterion(out_scores, targets) * (1.0 * B_ / len(targets))
+    ref_loss = cls_loss + 0.1 * t_att_loss + 0.5 * t_ts_loss
+    ref_loss.backward()
+
+    np.testing.assert_allclose(float(ours_loss), float(ref_loss.detach()),
+                               rtol=1e-4, atol=1e-4)
+    grad_sd = {k: v.grad.detach().numpy()
+               for k, v in tmodel.named_parameters() if v.grad is not None}
+    # params with no grad on the torch side (analytically-dead tails) map
+    # to zeros on ours — fill them in for the tree converter
+    for k, v in tmodel.named_parameters():
+        if v.grad is None:
+            grad_sd[k] = np.zeros(v.shape, np.float32)
+    ref_grads = torch_state_dict_to_flax(grad_sd, cfg)
+    flat_ours = jax.tree_util.tree_flatten_with_path(grads)[0]
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(ref_grads)[0])
+    for key, val in flat_ours:
+        np.testing.assert_allclose(
+            np.asarray(val), np.asarray(flat_ref[key]),
+            rtol=1e-3, atol=1e-4, err_msg=str(key))
