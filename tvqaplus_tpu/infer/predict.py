@@ -101,7 +101,11 @@ def get_att_predictions(scores, words, object_word_ids, qids, vid_names,
 
 class InferenceRunner:
     """Drives the eval-mode model over a dataset split and assembles the
-    predictions dict (reference inference.py:38-75)."""
+    predictions dict (reference inference.py:38-75).
+
+    The loop keeps one dispatched batch in flight: jax dispatch is async,
+    so batch i's host-side collation (device fetches, grounding-record
+    assembly, span->seconds) runs while batch i+1 executes on device."""
 
     def __init__(self, cfg, model, params, mesh=None):
         self.cfg = cfg
@@ -149,18 +153,12 @@ class InferenceRunner:
         # (each compile is ~60 s through the remote-compile tunnel; the
         # old per-batch multiple-of-4 bucketing could hit ~Li/4 variants)
         f_cache = {}
-        for batch_idx, (batch, meta, _) in enumerate(pipeline):
-            li = batch["ts_mask"].shape[1]     # this bucket's frame axis
-            f_need = max((len(bx) for bx in meta["boxes"] if bx),
-                         default=0)
-            f_max = f_cache.get(li, 4)
-            while f_max < f_need:
-                f_max *= 2
-            f_max = min(li, f_max)
-            f_cache[li] = f_max
-            out = self._infer_step(self.params, batch,
-                                   with_grounding=with_grounding,
-                                   f_max=f_max)
+
+        def collate_host(out, batch, meta, li):
+            """Host-side assembly of one dispatched batch's predictions.
+            Runs while the NEXT batch executes on device (depth-1 pending
+            queue below): jax dispatch is async, so the only sync points
+            are the device_get fetches here."""
             out = jax.device_get(out)
             ex_mask = np.asarray(jax.device_get(batch["ex_mask"]))
             n = int(ex_mask.sum())
@@ -189,6 +187,25 @@ class InferenceRunner:
                                       self.cfg.py2_offset_div,
                                       self.cfg.frame_interval)
                 predictions["ts_answer"][str(qid)] = [ts, a]
+
+        pending = None   # one in-flight dispatched batch
+        for batch_idx, (batch, meta, _) in enumerate(pipeline):
+            li = batch["ts_mask"].shape[1]     # this bucket's frame axis
+            f_need = max((len(bx) for bx in meta["boxes"] if bx),
+                         default=0)
+            f_max = f_cache.get(li, 4)
+            while f_max < f_need:
+                f_max *= 2
+            f_max = min(li, f_max)
+            f_cache[li] = f_max
+            out = self._infer_step(self.params, batch,
+                                   with_grounding=with_grounding,
+                                   f_max=f_max)
+            if pending is not None:
+                collate_host(*pending)
+            pending = (out, batch, meta, li)
             if debug:
                 break
+        if pending is not None:
+            collate_host(*pending)
         return predictions
