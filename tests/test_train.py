@@ -272,3 +272,40 @@ class TestEndToEnd:
                 trainer.state, batch, trainer.rng, use_hard_negatives=False)
             results.append(float(metrics["loss"]))
         assert abs(results[0] - results[1]) / abs(results[0]) < 1e-4
+
+    def test_tp_matches_single_device(self, tmp_path):
+        """Tensor parallelism over the optional "model" mesh axis must not
+        change loss or updated params.  embedding_size=256 puts the
+        256x300 BERT bridge over mesh.state_shardings' _TP_MIN_PARAMS
+        threshold, so it genuinely shards (asserted below); GSPMD
+        partitions its matmul and all-gathers at the consumers."""
+        from tvqaplus_tpu.parallel.mesh import state_shardings
+
+        cfg = small_cfg(tmp_path, bsz=4, embedding_size=256,
+                        use_sup_att=True, mesh_shape=[2, 1, 2])
+        ds = SyntheticTVQADataset(cfg, 4, mode="train")
+        results = []
+        for mesh_shape in ((1, 1), (2, 1, 2)):
+            ndev = int(np.prod(mesh_shape))
+            mesh = make_mesh(mesh_shape, devices=jax.devices()[:ndev])
+            trainer = Trainer(cfg, mesh=mesh)
+            if len(mesh_shape) == 3:
+                sh = state_shardings(mesh, trainer.state)
+                specs = {s.spec for s in jax.tree_util.tree_leaves(
+                    sh.params, is_leaf=lambda x: hasattr(x, "spec"))}
+                assert any(s for s in specs if s), \
+                    "no parameter actually sharded over the model axis"
+            pipe = trainer._pipeline(ds, shuffle=False, batch_size=4)
+            batch, _, _ = next(iter(pipe))
+            losses_2step = []
+            for _ in range(2):  # step 2 trains on the TP-updated params
+                trainer.state, metrics = trainer._train_step(
+                    trainer.state, batch, trainer.rng,
+                    use_hard_negatives=False)
+                losses_2step.append(float(metrics["loss"]))
+            results.append(losses_2step)
+        # step-1 losses are sharding-exact; step-2 losses run on post-Adam
+        # params, where reduction-order noise is amplified by g/(sqrt(nu)+eps)
+        # (see test_training_parity.py) — compare with a looser bound
+        assert abs(results[0][0] - results[1][0]) / abs(results[0][0]) < 1e-4
+        assert abs(results[0][1] - results[1][1]) / abs(results[0][1]) < 5e-3

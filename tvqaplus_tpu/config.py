@@ -147,7 +147,7 @@ class Config:
     max_num_proposal: int = 1           # P = max_num_proposal + 1 slots
     att_entry_cap: int = 128            # max positive att entries per example
     compute_dtype: str = "float32"      # {"float32", "bfloat16"}
-    mesh_shape: List[int] = field(default_factory=lambda: [-1, 1])  # (data, ctx)
+    mesh_shape: List[int] = field(default_factory=lambda: [-1, 1])  # (data, ctx[, model])
     use_pallas: bool = False            # fused Pallas kernels for the hot ops
     py2_offset_div: bool = False        # replicate python2 integer-div offset
     synthetic_data: bool = False        # run on synthetic data (no artifacts)

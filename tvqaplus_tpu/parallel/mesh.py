@@ -11,14 +11,25 @@ scatter/gather (main.py:204-206).  Here parallelism is a 2-axis
   per-frame encode/attend pipeline needs zero communication; only the
   Li-softmax of the span head and the Li max-pools reduce across shards,
   which XLA lowers to a handful of small collectives.
+* ``model``: optional tensor parallelism for the stretch config (absent
+  from 2-entry mesh shapes; size 1 changes nothing).  The LARGEST weight
+  matrices — the BERT 768->300 bridge, the embedding table, anything
+  >= 64k params (``_TP_MIN_PARAMS``) — shard their output axis; GSPMD
+  partitions their matmuls/gathers and all-gathers at the consumers.
+  At the reference's hsz 128 the remaining weights are 128-wide and stay
+  replicated (a model split would drop their matmul tiles below the
+  128x128 MXU tile — all collective, no compute win); larger-hsz stretch
+  configs qualify automatically under the same rule.
 
-Params are replicated (the model is ~0.55M params; sharding them would be
-all overhead).  Batch arrays shard their leading dim on ``data`` and, where
-an Li axis exists (dim 1), on ``ctx``.
+Params are replicated by default (the model is ~0.55M params; sharding
+them would be all overhead).  Batch arrays shard their leading dim on
+``data`` and, where an Li axis exists (dim 1), on ``ctx``; batch arrays
+never shard over ``model``.
 """
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -30,20 +41,22 @@ _LI_KEYS = ("sub_bert", "sub_win_idx", "sub_mask", "vid", "vid_mask",
 
 
 def make_mesh(mesh_shape=(-1, 1), devices=None):
-    """Create a ("data", "ctx") mesh.  A -1 entry absorbs the remaining
-    devices (like the reference's bsz x n_gpus scaling, config.py:187)."""
+    """Create a ("data", "ctx") mesh — or ("data", "ctx", "model") from a
+    3-entry shape.  A single -1 entry absorbs the remaining devices (like
+    the reference's bsz x n_gpus scaling, config.py:187)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    data, ctx = mesh_shape
-    if data == -1:
-        assert ctx >= 1 and n % ctx == 0
-        data = n // ctx
-    if ctx == -1:
-        assert data >= 1 and n % data == 0
-        ctx = n // data
-    assert data * ctx <= n, f"mesh {data}x{ctx} > {n} devices"
-    mesh_devices = np.asarray(devices[: data * ctx]).reshape(data, ctx)
-    return Mesh(mesh_devices, ("data", "ctx"))
+    axes = ("data", "ctx", "model")[: len(mesh_shape)]
+    sizes = list(mesh_shape)
+    assert len(sizes) in (2, 3), f"mesh shape {mesh_shape}"
+    if -1 in sizes:
+        assert sizes.count(-1) == 1, f"one -1 entry at most: {mesh_shape}"
+        rest = int(np.prod([s for s in sizes if s != -1]))
+        assert rest >= 1 and n % rest == 0
+        sizes[sizes.index(-1)] = n // rest
+    total = int(np.prod(sizes))
+    assert total <= n, f"mesh {sizes} > {n} devices"
+    return Mesh(np.asarray(devices[:total]).reshape(sizes), axes)
 
 
 def init_distributed(coordinator_address, num_processes, process_id,
@@ -80,6 +93,48 @@ def data_parallel_size(mesh):
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
+
+
+# minimum parameter count for a weight matrix to shard over "model":
+# below this the matmul tiles fall under the MXU tile and the all-gather
+# at the consumer costs more than the split compute saves.  At reference
+# shapes only the BERT 768->300 bridge and the embedding table qualify.
+_TP_MIN_PARAMS = 65536
+
+
+def state_shardings(mesh, tree):
+    """Per-leaf NamedSharding for a parameter/optimizer-state pytree.
+
+    Without a "model" mesh axis (or with it at size 1) everything is
+    replicated — the default DP layout.  With model > 1, array leaves with
+    >= 2 dims, >= ``_TP_MIN_PARAMS`` elements and a last dim divisible by
+    the axis size shard their output (last) axis over "model"; Adam's
+    mu/nu mirror their parameters automatically (same shapes).  Everything
+    else (biases, LN scales, step counters) stays replicated."""
+    tp = mesh.shape.get("model", 1)
+
+    def rule(x):
+        shape = jnp.shape(x)
+        if (tp > 1 and len(shape) >= 2 and int(np.prod(shape)) >= _TP_MIN_PARAMS
+                and shape[-1] % tp == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1) + ["model"])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
+def place_state(mesh, tree):
+    """Place a host train-state pytree on the mesh under the TP-aware rule
+    (== ``place_replicated`` when no model axis is present)."""
+    sh = state_shardings(mesh, tree)
+    if jax.process_count() > 1:
+        def put(x, s):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, s, lambda idx: x[idx])
+        return jax.tree_util.tree_map(put, tree, sh)
+    return jax.tree_util.tree_map(jax.device_put, tree, sh)
 
 
 def place_replicated(mesh, tree):

@@ -24,8 +24,9 @@ from tvqaplus_tpu.parallel.mesh import (
     batch_shardings,
     data_parallel_size,
     make_mesh,
-    place_replicated,
+    place_state,
     replicated,
+    state_shardings,
 )
 from tvqaplus_tpu.train.metrics import MetricsLogger
 from tvqaplus_tpu.train.state import (
@@ -106,9 +107,10 @@ class Trainer:
         self.state, self.tx = create_train_state(
             variables["params"], cfg.lr, cfg.wd, cfg.clip)
         # lay the state out exactly as the jitted step returns it
-        # (replicated NamedSharding) — a SingleDeviceSharding input would
-        # trigger a second full compile on step 2
-        self.state = place_replicated(self.mesh, self.state)
+        # (replicated — or model-axis-sharded under TP — NamedShardings);
+        # a SingleDeviceSharding input would trigger a second full compile
+        # on step 2
+        self.state = place_state(self.mesh, self.state)
         self.n_params = count_parameters(self.state.params)
         self.scheduler = PlateauScheduler(cfg.lr, mode="max", factor=0.5,
                                           patience=10)
@@ -119,7 +121,7 @@ class Trainer:
         if cfg.resume:
             self.state, extra = load_checkpoint(cfg.resume, self.state)
             # restored leaves are host numpy; re-place on the mesh
-            self.state = place_replicated(self.mesh, self.state)
+            self.state = place_state(self.mesh, self.state)
             self.best_acc = extra.get("best_acc", 0.0)
             self.start_epoch = extra.get("epoch", 0)
             self.scheduler.lr = extra.get("lr", cfg.lr)
@@ -179,14 +181,15 @@ class Trainer:
             return metrics, preds
 
         repl = replicated(self.mesh)
+        state_sh = state_shardings(self.mesh, self.state)
         self._train_step = jax.jit(
             train_step, static_argnames=("use_hard_negatives",),
             donate_argnums=(0,),
-            out_shardings=(repl, repl))
+            out_shardings=(state_sh, repl))
         self._train_step_scan = jax.jit(
             train_step_scan, static_argnames=("use_hard_negatives",),
             donate_argnums=(0,),
-            out_shardings=(repl, repl))
+            out_shardings=(state_sh, repl))
         self._eval_step = jax.jit(eval_step, out_shardings=(repl, repl))
 
     # ------------------------------------------------------------------
