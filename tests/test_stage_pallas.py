@@ -56,3 +56,47 @@ def test_pallas_path_gradients_flow():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.array(g)).all() for g in leaves)
     assert sum(float((np.array(g) ** 2).sum()) for g in leaves) > 0
+
+
+def test_with_raw_false_matches_full_kernel():
+    """need_sub_raw/need_vid_raw=False (the production train/eval setting)
+    skips the raw-score outputs but must not change anything else: same
+    mixed-path outputs forward, same gradients backward (the raw gradient
+    term is exactly zero when the loss never reads raw)."""
+    import jax.numpy as jnp
+    from tvqaplus_tpu.models import losses
+    from tvqaplus_tpu.models.stage import STAGE
+
+    cfg = tiny_cfg(add_local=True, use_pallas=True, dropout=0.0)
+    batch = tiny_batch()
+    batch["att_labels"][0, 0, 0, 0] = 1.0
+    batch = {k: jnp.array(v) for k, v in batch.items()}
+    model = STAGE(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+
+    out_full = model.apply(variables, batch, train=False)
+    out_lean = model.apply(variables, batch, train=False,
+                           need_sub_raw=False, need_vid_raw=False)
+    assert "sub_raw_s" not in out_lean and "vid_raw_s" not in out_lean
+    for k in ("answer_scores", "t_scores"):
+        np.testing.assert_allclose(np.array(out_lean[k]),
+                                   np.array(out_full[k]), rtol=1e-6)
+
+    def loss_fn(need_sub_raw):
+        def f(params):
+            out = model.apply({"params": params}, batch, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(1)},
+                              need_sub_raw=need_sub_raw, need_vid_raw=True)
+            loss, _ = losses.total_loss(out, batch, jax.random.PRNGKey(2),
+                                        use_sup_att=True, train=True)
+            return loss
+        return f
+
+    l_full, g_full = jax.value_and_grad(loss_fn(True))(variables["params"])
+    l_lean, g_lean = jax.value_and_grad(loss_fn(False))(variables["params"])
+    np.testing.assert_allclose(float(l_full), float(l_lean), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.array(a), np.array(b),
+                                                rtol=1e-6, atol=1e-8),
+        g_full, g_lean)

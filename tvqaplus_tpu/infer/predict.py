@@ -114,7 +114,9 @@ class InferenceRunner:
         self.mesh = mesh
 
         def infer_step(params, batch, with_grounding, f_max):
-            out = model.apply({"params": params}, batch, train=False)
+            out = model.apply({"params": params}, batch, train=False,
+                              need_sub_raw=False,
+                              need_vid_raw=with_grounding)
             pred_ids = jnp.argmax(out["answer_scores"], axis=-1)   # (B,)
             t_probs = safe_softmax(out["t_scores"], axis=2)        # (B,A,Li,2)
             st, ed, val = spans.find_max_pair(t_probs[..., 0],

@@ -169,7 +169,7 @@ class STAGE(nn.Module):
         return self.input_encoder(x, mask, train=train)
 
     def qa_ctx_attention(self, qa_embed, ctx_embed, qa_mask, ctx_mask, *,
-                         train, use_void=False):
+                         train, use_void=False, need_raw=True):
         """Structured attention + BiDAF-style fusion
         (reference stage.py:365-387).
 
@@ -203,10 +203,11 @@ class STAGE(nn.Module):
                 qn = _dropout(qn, c.dropout, rng_q)
                 seed = jax.random.randint(rng_seed, (), 0, 2 ** 31 - 1,
                                           dtype=jnp.int32)
-            mixed, raw_s = fused_qa_ctx_attention(
+            out = fused_qa_ctx_attention(
                 cn, ce, qn, qe, qa_mask[:, :, 0], ctx_mask[:, 0],
                 dp.ln_scale, dp.ln_bias, dp.kernel, dp.bias, seed, c.scale,
-                c.dtype, c.dropout if dropout_active else 0.0)
+                c.dtype, c.dropout if dropout_active else 0.0, need_raw)
+            mixed, raw_s = out if need_raw else (out, None)
             # mixed_mask = (s_mask.sum(-1) != 0): word valid & any region
             any_region = (jnp.sum(ctx_mask[:, 0], -1) > 0)   # (B, Li)
             mixed_mask = (qa_mask[:, :, 0][:, :, None, :]
@@ -228,12 +229,19 @@ class STAGE(nn.Module):
         return mixed, mixed_mask, raw_s, s_norm
 
     # ------------------------------------------------------------------
-    def __call__(self, batch, *, train: bool):
+    def __call__(self, batch, *, train: bool, need_sub_raw: bool = True,
+                 need_vid_raw: bool = True):
         """Forward pass.
 
         Args:
           batch: static-shape dict (see data/batching.py).
           train: enables dropout and the GT-anchored proposal branch.
+          need_sub_raw / need_vid_raw: emit the raw cosine-score tensors
+            (B, A, Li, Lqa, Lc) — the largest forward outputs.  The train
+            step needs only vid (att loss), QA-only eval needs neither,
+            grounding inference needs vid; under the fused kernel a False
+            skips the HBM write + backward read entirely (the XLA path
+            relies on DCE).  Defaults keep every output (parity tests).
 
         Returns a dict:
           answer_scores: (B, P, A) train+add_local / (B, A) otherwise
@@ -289,8 +297,10 @@ class STAGE(nn.Module):
             sub_mask = batch["sub_mask"][:, None]
             attended_sub, attended_sub_mask, sub_raw_s, sub_norm_s = \
                 self.qa_ctx_attention(a_embed, sub_embed, a_mask, sub_mask,
-                                      train=train)
-            out["sub_raw_s"], out["sub_normalized_s"] = sub_raw_s, sub_norm_s
+                                      train=train, need_raw=need_sub_raw)
+            if need_sub_raw:
+                out["sub_raw_s"] = sub_raw_s
+                out["sub_normalized_s"] = sub_norm_s
 
         if c.vfeat_flag:
             vid_embed = l2_normalize(batch["vid"])      # (stage.py:256)
@@ -301,8 +311,11 @@ class STAGE(nn.Module):
             attended_vid, attended_vid_mask, vid_raw_s, vid_norm_s = \
                 self.qa_ctx_attention(a_embed, vid_embed, a_mask, vid_mask,
                                       train=train,
-                                      use_void=c.non_visual > 0)
-            out["vid_raw_s"], out["vid_normalized_s"] = vid_raw_s, vid_norm_s
+                                      use_void=c.non_visual > 0,
+                                      need_raw=need_vid_raw)
+            if need_vid_raw:
+                out["vid_raw_s"] = vid_raw_s
+                out["vid_normalized_s"] = vid_norm_s
 
         if c.sub_flag and c.vfeat_flag:
             # tri-concat + MLP bridge; with use_pallas the concat is never

@@ -154,7 +154,8 @@ def _stack_rows(per_frame):
 
 def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
                 gamma_ref, beta_ref, w_ref, b_ref,
-                mixed_ref, raw_ref, *, scale, dropout_rate, compute_dtype):
+                mixed_ref, *maybe_raw_ref, scale, dropout_rate,
+                compute_dtype):
     """One (batch, frame-block) cell.
 
     Refs (leading singleton block dims included):
@@ -162,8 +163,12 @@ def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
       qn/qe: (1, T, Lr, D) normalized(+sim-dropout) / raw context frames
       cm: (1, A, Lqa, 1) QA mask; qm: (1, T, 1, Lr) context mask
       gamma/beta: (1, 3D); w: (3D, D); b: (1, D)
-      mixed_ref: (1, A, T, Lqa, D); raw_ref: (1, A, T, Lqa, Lr)
+      mixed_ref: (1, A, T, Lqa, D); raw_ref: (1, A, T, Lqa, Lr) — absent
+      under ``with_raw=False`` (the raw scores are the kernel's largest
+      HBM write; callers that never read them — the sub stream in
+      training, both streams in QA-only eval — skip it entirely)
     """
+    raw_ref = maybe_raw_ref[0] if maybe_raw_ref else None
     a_dim, lqa, d = cn_ref.shape[1:]
     t_frames = qn_ref.shape[1]
     ct = compute_dtype
@@ -189,7 +194,8 @@ def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
                             c_mask, qm_ref[0, t].astype(jnp.float32),
                             scale, ct)
         frames.append(f)
-        raw_ref[0, :, t] = f["masked"].reshape(a_dim, lqa, -1)
+        if raw_ref is not None:
+            raw_ref[0, :, t] = f["masked"].reshape(a_dim, lqa, -1)
 
     # everything row-local (LN + dropout + projection) runs frame-MERGED
     a_rows = _stack_rows([f["a"] for f in frames])       # (T*M, D)
@@ -203,10 +209,8 @@ def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
 
 
 def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
-                gamma_ref, beta_ref, w_ref, b_ref, gmix_ref, graw_ref,
-                gcn_ref, gce_ref, gqn_ref, gqe_ref,
-                ggamma_ref, gbeta_ref, gw_ref, gb_ref,
-                *, scale, dropout_rate, compute_dtype):
+                gamma_ref, beta_ref, w_ref, b_ref, gmix_ref, *refs,
+                scale, dropout_rate, compute_dtype, with_raw):
     """Backward cell: recompute the forward from inputs (nothing saved but
     the kernel inputs), replay the dropout stream, and accumulate all eight
     gradients.  Accumulation layout:
@@ -215,7 +219,14 @@ def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
       ggamma/gbeta (1, 3D), gw (3D, D), gb (1, D): revisited across the
         whole grid (init at i == j == 0)
     TPU grid steps run sequentially, so read-modify-write is race-free.
+
+    ``with_raw=False`` drops the graw input ref (no raw output existed in
+    the forward); the raw-score gradient term vanishes from g_s.
     """
+    if with_raw:
+        graw_ref, *refs = refs
+    (gcn_ref, gce_ref, gqn_ref, gqe_ref,
+     ggamma_ref, gbeta_ref, gw_ref, gb_ref) = refs
     a_dim, lqa, d = cn_ref.shape[1:]
     t_frames, lr = qn_ref.shape[1:3]
     ct = compute_dtype
@@ -294,7 +305,6 @@ def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
         qn = qn_ref[0, t].astype(ct)
         qe = qe_ref[0, t].astype(ct)
         g_a = g_a_rows[t * m:(t + 1) * m]
-        g_raw = graw_ref[0, :, t].reshape(m, lr)
 
         g_p = jax.lax.dot_general(
             g_a.astype(ct), qe, (((1,), (1,)), ((), ())),
@@ -306,7 +316,9 @@ def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
         p0 = f["p0"]
         g_z = p0 * (g_p0 - jnp.sum(g_p0 * p0, axis=-1, keepdims=True))
         g_masked = g_z * scale * (f["zc"] > SAFE_FLOOR).astype(jnp.float32)
-        g_s = g_masked + g_raw
+        g_s = g_masked
+        if with_raw:
+            g_s = g_s + graw_ref[0, :, t].reshape(m, lr)
         gcn_acc = gcn_acc + jax.lax.dot_general(
             g_s.astype(ct), qn, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                    # (M, D)
@@ -353,12 +365,12 @@ def _common_operands(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b):
 
 def _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
                     scale, dropout_rate, seed, interpret=False,
-                    compute_dtype=jnp.bfloat16):
+                    compute_dtype=jnp.bfloat16, with_raw=True):
     """Launch the forward kernel.  Shapes:
       cn/ce: (B, A, Lqa, D); qn/qe: (B, Li, Lr, D);
       c_mask: (B, A, Lqa); q_mask: (B, Li, Lr).
-    Returns mixed (B, A, Li, Lqa, D) in the compute dtype and
-    raw_S (B, A, Li, Lqa, Lr) in f32.
+    Returns mixed (B, A, Li, Lqa, D) in the compute dtype and, with
+    ``with_raw``, raw_S (B, A, Li, Lqa, Lr) in f32.
     """
     bsz, num_a, lqa, d = cn.shape
     _, li, lr, _ = qn.shape
@@ -368,36 +380,38 @@ def _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
     kernel = functools.partial(_fwd_kernel, scale=scale,
                                dropout_rate=dropout_rate,
                                compute_dtype=compute_dtype)
+    out_specs = [pl.BlockSpec((1, num_a, t, lqa, d),
+                              lambda i, j, s: (i, 0, j, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((bsz, num_a, li, lqa, d),
+                                      _out_dtype(compute_dtype))]
+    if with_raw:
+        out_specs.append(pl.BlockSpec((1, num_a, t, lqa, lr),
+                                      lambda i, j, s: (i, 0, j, 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, num_a, li, lqa, lr), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, li // t),
         in_specs=_common_specs(bsz, num_a, lqa, d, li, lr, t),
-        out_specs=[
-            pl.BlockSpec((1, num_a, t, lqa, d),
-                         lambda i, j, s: (i, 0, j, 0, 0)),
-            pl.BlockSpec((1, num_a, t, lqa, lr),
-                         lambda i, j, s: (i, 0, j, 0, 0)),
-        ],
+        out_specs=out_specs,
     )
-    mixed, raw = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, num_a, li, lqa, d),
-                                 _out_dtype(compute_dtype)),
-            jax.ShapeDtypeStruct((bsz, num_a, li, lqa, lr), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(seed_arr, *_common_operands(cn, ce, qn, qe, c_mask, q_mask,
                                   gamma, beta, w, b))
-    return mixed, raw
+    return (out[0], out[1]) if with_raw else out[0]
 
 
 def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
                      g_mixed, g_raw, scale, dropout_rate, seed,
-                     interpret=False, compute_dtype=jnp.bfloat16):
+                     interpret=False, compute_dtype=jnp.bfloat16,
+                     with_raw=True):
     """Launch the backward kernel; returns gradients for
-    (cn, ce, qn, qe, gamma, beta, w, b)."""
+    (cn, ce, qn, qe, gamma, beta, w, b).  ``g_raw`` is ignored under
+    ``with_raw=False`` (the forward emitted no raw output)."""
     bsz, num_a, lqa, d = cn.shape
     _, li, lr, _ = qn.shape
     t = _frames_per_cell(li, num_a * lqa, lr, d)
@@ -405,16 +419,19 @@ def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
 
     kernel = functools.partial(_bwd_kernel, scale=scale,
                                dropout_rate=dropout_rate,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               with_raw=with_raw)
+    g_specs = [pl.BlockSpec((1, num_a, t, lqa, d),
+                            lambda i, j, s: (i, 0, j, 0, 0))]
+    g_operands = [g_mixed]
+    if with_raw:
+        g_specs.append(pl.BlockSpec((1, num_a, t, lqa, lr),
+                                    lambda i, j, s: (i, 0, j, 0, 0)))
+        g_operands.append(g_raw.astype(jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, li // t),
-        in_specs=_common_specs(bsz, num_a, lqa, d, li, lr, t) + [
-            pl.BlockSpec((1, num_a, t, lqa, d),
-                         lambda i, j, s: (i, 0, j, 0, 0)),
-            pl.BlockSpec((1, num_a, t, lqa, lr),
-                         lambda i, j, s: (i, 0, j, 0, 0)),
-        ],
+        in_specs=_common_specs(bsz, num_a, lqa, d, li, lr, t) + g_specs,
         out_specs=[
             pl.BlockSpec((1, num_a, lqa, d), lambda i, j, s: (i, 0, 0, 0)),
             pl.BlockSpec((1, num_a, lqa, d), lambda i, j, s: (i, 0, 0, 0)),
@@ -442,7 +459,7 @@ def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
         ],
     )(seed_arr, *_common_operands(cn, ce, qn, qe, c_mask, q_mask,
                                   gamma, beta, w, b),
-      g_mixed, g_raw.astype(jnp.float32))
+      *g_operands)
     return (gcn, gce, gqn, gqe, ggamma.reshape(gamma.shape),
             gbeta.reshape(beta.shape), gw, gb.reshape(b.shape))
 
@@ -466,43 +483,50 @@ def reference_impl(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, scale):
     return mixed, masked
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def fused_qa_ctx_attention(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
                            seed, scale, compute_dtype=jnp.bfloat16,
-                           dropout_rate=0.0):
+                           dropout_rate=0.0, with_raw=True):
     """Pallas forward + Pallas backward (TPU) / rematerialized pure-JAX
     backward (interpret mode, dropout_rate == 0 only).
 
     ``seed`` is a traced int32 scalar: the projection-dropout PRNG seed,
     folded with the grid position per cell.  Ignored when
     ``dropout_rate == 0`` — pass 0.
+
+    ``with_raw=False`` returns only ``mixed`` and skips the raw-score
+    output entirely (the kernel's largest HBM write + the matching
+    backward read).  Callers that never consume the raw scores — the
+    subtitle stream in training, both streams in QA-only eval — save
+    ~(B*A*Li*Lqa*Lr)*4 bytes each way.
     """
     return _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
                            scale, dropout_rate=dropout_rate, seed=seed,
                            interpret=jax.default_backend() != "tpu",
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, with_raw=with_raw)
 
 
 def _fused_fwd(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed,
-               scale, compute_dtype, dropout_rate):
+               scale, compute_dtype, dropout_rate, with_raw):
     out = fused_qa_ctx_attention(cn, ce, qn, qe, c_mask, q_mask, gamma,
                                  beta, w, b, seed, scale, compute_dtype,
-                                 dropout_rate)
+                                 dropout_rate, with_raw)
     return out, (cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed)
 
 
-def _fused_bwd(scale, compute_dtype, dropout_rate, residuals, g):
+def _fused_bwd(scale, compute_dtype, dropout_rate, with_raw, residuals, g):
     on_tpu = jax.default_backend() == "tpu"
     if dropout_rate > 0.0 and not on_tpu:
         raise NotImplementedError(
             "in-kernel dropout backward needs the TPU PRNG; non-TPU "
             "callers must use the pure-JAX path when dropout is active")
     cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed = residuals
-    g_mixed, g_raw = g
+    g_mixed, g_raw = g if with_raw else (g, None)
     gcn, gce, gqn, gqe, ggamma, gbeta, gw, gb = _pallas_backward(
         cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
         g_mixed, g_raw, scale, dropout_rate, seed,
-        interpret=not on_tpu, compute_dtype=compute_dtype)
+        interpret=not on_tpu, compute_dtype=compute_dtype,
+        with_raw=with_raw)
     # cotangents MUST ride the primal dtypes: the kernel accumulates in f32,
     # but under the bf16 policy cn/ce/qn/qe arrive bf16, and upstream
     # transpose rules (lax.div in l2_normalize/_dropout) reject mixed dtypes

@@ -139,13 +139,21 @@ class Trainer:
     def _build_steps(self):
         model, tx, loss_kwargs = self.model, self.tx, self._loss_kwargs
 
+        # the raw cosine-score tensors are the largest forward outputs;
+        # training consumes only the vid one (att loss), eval neither —
+        # the fused kernel skips un-needed ones entirely (stage.py)
+        need_vid_raw = bool(loss_kwargs["use_sup_att"]
+                            and loss_kwargs["vfeat_flag"])
+
         def step_body(state: TrainState, batch, rng, use_hard_negatives):
             step_rng = jax.random.fold_in(rng, state.step)
             drop_rng, att_rng = jax.random.split(step_rng)
 
             def loss_fn(params):
                 out = model.apply({"params": params}, batch, train=True,
-                                  rngs={"dropout": drop_rng})
+                                  rngs={"dropout": drop_rng},
+                                  need_sub_raw=False,
+                                  need_vid_raw=need_vid_raw)
                 return losses.total_loss(
                     out, batch, att_rng, train=True,
                     use_hard_negatives=use_hard_negatives, **loss_kwargs)
@@ -174,7 +182,8 @@ class Trainer:
             return jax.lax.scan(body, state, batches)
 
         def eval_step(state: TrainState, batch):
-            out = model.apply({"params": state.params}, batch, train=False)
+            out = model.apply({"params": state.params}, batch, train=False,
+                              need_sub_raw=False, need_vid_raw=False)
             _, metrics = losses.total_loss(
                 out, batch, jax.random.PRNGKey(0), train=False, **loss_kwargs)
             preds = jnp.argmax(out["answer_scores"], axis=-1)
