@@ -157,6 +157,9 @@ class Config:
     steps_per_dispatch: int = 1         # K>1: lax.scan K optimizer steps per
                                         # host dispatch (amortizes latency);
                                         # 0 = auto-size K to fit HBM
+    eval_steps_per_dispatch: int = 4    # K same-bucket eval batches per
+                                        # dispatch (lax.map; serving twin of
+                                        # steps_per_dispatch)
     profile_dir: str = ""               # if set, dump a jax.profiler trace
     compilation_cache_dir: str = "~/.cache/tvqaplus_tpu_xla"  # "" disables
 

@@ -139,12 +139,27 @@ class InferenceRunner:
         self._infer_step = jax.jit(
             infer_step, static_argnames=("with_grounding", "f_max"))
 
+        def infer_scan(params, batches, with_grounding, f_max):
+            """K same-bucket batches (stacked on a leading axis by the
+            pipeline's ``group``) in ONE dispatch — the serving twin of the
+            training loop's multi-step scan: amortizes the per-dispatch
+            host/tunnel latency over K steps.  ``lax.map`` = scan without
+            carry (eval steps are independent)."""
+            return jax.lax.map(
+                lambda b: infer_step(params, b, with_grounding, f_max),
+                batches)
+
+        self._infer_scan = jax.jit(
+            infer_scan, static_argnames=("with_grounding", "f_max"))
+
     def run(self, dataset, mode="valid", object_word_ids=(), debug=False):
         from tvqaplus_tpu.data.pipeline import DataPipeline
         dataset.set_mode(mode)
+        group = max(1, getattr(self.cfg, "eval_steps_per_dispatch", 1))
         pipeline = DataPipeline(dataset, self.cfg, mesh=self.mesh,
                                 batch_size=self.cfg.test_bsz, shuffle=False,
                                 prefetch_depth=self.cfg.prefetch_depth,
+                                group=group,
                                 # training-only tensors: skip the upload
                                 exclude_keys=ATT_KEYS)
         predictions = {"ts_answer": {}, "raw_bbox": []}
@@ -156,24 +171,15 @@ class InferenceRunner:
         # old per-batch multiple-of-4 bucketing could hit ~Li/4 variants)
         f_cache = {}
 
-        def collate_host(out, batch, meta, li):
-            """Host-side assembly of one dispatched batch's predictions.
-            Runs while the NEXT batch executes on device (depth-1 pending
-            queue below): jax dispatch is async, so the only sync points
-            are the device_get fetches here."""
-            out = jax.device_get(out)
-            ex_mask = np.asarray(jax.device_get(batch["ex_mask"]))
+        def collate_one(out, ex_mask, words, anno_st, meta, li):
+            """Assemble one batch's predictions from fetched numpy arrays."""
             n = int(ex_mask.sum())
-            pred_ids = np.asarray(out["pred_ids"])
-            span_st = np.asarray(out["span_st"])
-            span_ed = np.asarray(out["span_ed"])
-
+            pred_ids, span_st, span_ed = (out["pred_ids"], out["span_st"],
+                                          out["span_ed"])
             if "vid_raw_anno" in out and any(
                     bx is not None for bx in meta["boxes"]):
-                words = np.asarray(jax.device_get(batch["qas"]))
-                anno_st = np.asarray(jax.device_get(batch["anno_st"]))
                 att = get_att_predictions(
-                    np.asarray(out["vid_raw_anno"])[:n], words[:n],
+                    out["vid_raw_anno"][:n], words[:n],
                     object_word_ids, meta["qid"][:n], meta["vid_name"][:n],
                     meta["image_indices"][:n], meta["boxes"][:n],
                     anno_st[:n], scores_local=True, li_total=li)
@@ -190,9 +196,29 @@ class InferenceRunner:
                                       self.cfg.frame_interval)
                 predictions["ts_answer"][str(qid)] = [ts, a]
 
-        pending = None   # one in-flight dispatched batch
+        def collate_host(out, batch, meta, li, stacked):
+            """Host-side assembly of one dispatch's predictions (one batch,
+            or K stacked same-bucket batches).  Runs while the NEXT dispatch
+            executes on device (depth-1 pending queue below): jax dispatch
+            is async, so the only sync points are the fetches here."""
+            out = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+            ex_mask = np.asarray(jax.device_get(batch["ex_mask"]))
+            words = np.asarray(jax.device_get(batch["qas"]))
+            anno_st = np.asarray(jax.device_get(batch["anno_st"]))
+            if not stacked:
+                collate_one(out, ex_mask, words, anno_st, meta, li)
+                return
+            k, b = ex_mask.shape
+            for i in range(k):
+                sub_meta = {key: v[i * b:(i + 1) * b]
+                            for key, v in meta.items()}
+                collate_one({key: v[i] for key, v in out.items()},
+                            ex_mask[i], words[i], anno_st[i], sub_meta, li)
+
+        pending = None   # one in-flight dispatch
         for batch_idx, (batch, meta, _) in enumerate(pipeline):
-            li = batch["ts_mask"].shape[1]     # this bucket's frame axis
+            stacked = batch["ex_mask"].ndim == 2   # (K, B): grouped dispatch
+            li = batch["ts_mask"].shape[-1]    # this bucket's frame axis
             f_need = max((len(bx) for bx in meta["boxes"] if bx),
                          default=0)
             f_max = f_cache.get(li, 4)
@@ -200,12 +226,12 @@ class InferenceRunner:
                 f_max *= 2
             f_max = min(li, f_max)
             f_cache[li] = f_max
-            out = self._infer_step(self.params, batch,
-                                   with_grounding=with_grounding,
-                                   f_max=f_max)
+            step = self._infer_scan if stacked else self._infer_step
+            out = step(self.params, batch, with_grounding=with_grounding,
+                       f_max=f_max)
             if pending is not None:
                 collate_host(*pending)
-            pending = (out, batch, meta, li)
+            pending = (out, batch, meta, li, stacked)
             if debug:
                 break
         if pending is not None:
