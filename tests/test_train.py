@@ -123,6 +123,29 @@ class TestPipeline:
         order2 = [meta["qid"] for _, meta, _ in pipe]  # epoch 2
         assert order1 != order2
 
+    def test_bucket_batching(self, tmp_path):
+        """Shuffle-mode bucket batching: every example appears exactly once,
+        every batch's bucket is the smallest that fits ALL its members (no
+        long example dragging short ones into the big bucket)."""
+        from tvqaplus_tpu.data.batching import pick_bucket
+        cfg = small_cfg(tmp_path, max_num_img=8, img_buckets=[4, 6, 8])
+        ds = SyntheticTVQADataset(cfg, 32, mode="train")
+        by_qid_bucket = {
+            ds[i]["qid"]: pick_bucket(len(ds[i]["image_indices"]),
+                                      [4, 6, 8], 8)
+            for i in range(32)}
+        assert len(set(by_qid_bucket.values())) > 1  # mixed dataset
+        pipe = DataPipeline(ds, cfg, mesh=None, batch_size=4, shuffle=True)
+        seen = []
+        for arrays, meta, bucket in pipe:
+            n = int(np.asarray(arrays["ex_mask"]).sum())
+            for qid in meta["qid"][:n]:
+                seen.append(qid)
+                assert by_qid_bucket[qid] == bucket, \
+                    f"example of bucket {by_qid_bucket[qid]} in a " \
+                    f"bucket-{bucket} batch"
+        assert sorted(seen) == sorted(by_qid_bucket)  # exactly once each
+
     def test_att_entry_cap_overflow_is_loud(self, tmp_path):
         """An example with more positive attention cells than att_entry_cap
         must raise (the att loss would silently drop positives —

@@ -36,7 +36,7 @@ class DataPipeline:
 
     def __init__(self, dataset, cfg, mesh=None, batch_size=16, shuffle=False,
                  seed=0, drop_last=False, prefetch_depth=2, group=1,
-                 exclude_keys=()):
+                 exclude_keys=(), bucket_batching=True):
         self.dataset = dataset
         self.cfg = cfg
         self.mesh = mesh
@@ -47,6 +47,13 @@ class DataPipeline:
         self.prefetch_depth = max(1, prefetch_depth)
         self.group = max(1, group)  # stack K same-bucket batches per yield
         self.exclude_keys = set(exclude_keys)  # e.g. att labels at inference
+        # bucket batching (shuffle mode only): batch examples WITH examples
+        # of their own Li bucket instead of in raw shuffle order.  In raw
+        # order one long example drags its whole batch to the big bucket —
+        # every shorter member pays the padding — and frequent bucket
+        # switches flush the same-bucket dispatch stacks (`group`).
+        # Shuffle-off iteration keeps dataset order exactly (parity paths).
+        self.bucket_batching = bucket_batching
         # under the bf16 compute policy, quantize the big feature uploads on
         # host: halves host->device bandwidth, numerically identical to the
         # on-device bf16 cast the matmuls apply anyway
@@ -71,6 +78,22 @@ class DataPipeline:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self._epoch))
             rng.shuffle(order)
+        if self.shuffle and self.bucket_batching:
+            # one-pass bucket batching: per-bucket buffers fill in shuffled
+            # order and emit when full; partials flush at epoch end.  Holds
+            # at most (n_buckets * (batch_size-1)) examples.
+            buffers = {}
+            for j in order:
+                ex = self.dataset[int(j)]
+                n_img = len(ex.get("image_indices", [])) or 1
+                b = pick_bucket(n_img, self.buckets, self.cfg.max_num_img)
+                buffers.setdefault(b, []).append(ex)
+                if len(buffers[b]) == self.batch_size:
+                    yield self._collate(buffers.pop(b), b)
+            if not self.drop_last:
+                for b in sorted(buffers):
+                    yield self._collate(buffers[b], b)
+            return
         for i in range(0, n, self.batch_size):
             idxs = order[i: i + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
@@ -79,36 +102,39 @@ class DataPipeline:
             n_img = max((len(ex.get("image_indices", [])) or 1)
                         for ex in examples)
             bucket = pick_bucket(n_img, self.buckets, self.cfg.max_num_img)
-            spec = self.base_spec.with_max_img(bucket)
-            arrays, meta = collate_static(examples, spec)
-            if not self.exclude_keys.intersection(ATT_KEYS):
-                # the att loss silently truncates positives beyond
-                # att_entry_cap (losses.py stable top-k) — fail loudly here
-                # instead, with the observed count (VERDICT r2 weak #5)
-                n_pos_max = max(meta["att_n_pos"], default=0)
-                if n_pos_max > self.cfg.att_entry_cap:
-                    raise ValueError(
-                        f"an example carries {n_pos_max} positive attention "
-                        f"cells > att_entry_cap={self.cfg.att_entry_cap}; "
-                        f"raise --att_entry_cap (the loss would silently "
-                        f"drop positives)")
-            n_over = max(meta.get("sub_tok_overflow", [0]), default=0)
-            if n_over:
-                # dedup contract capacity overflow: dropped tokens would
-                # silently diverge from the expanded reference windows
+            yield self._collate(examples, bucket)
+
+    def _collate(self, examples, bucket):
+        spec = self.base_spec.with_max_img(bucket)
+        arrays, meta = collate_static(examples, spec)
+        if not self.exclude_keys.intersection(ATT_KEYS):
+            # the att loss silently truncates positives beyond
+            # att_entry_cap (labels.att_entries_from_dense) — fail loudly
+            # here instead, with the observed count (VERDICT r2 weak #5)
+            n_pos_max = max(meta["att_n_pos"], default=0)
+            if n_pos_max > self.cfg.att_entry_cap:
                 raise ValueError(
-                    f"an example's subtitle windows need {n_over} more "
-                    f"unique tokens than max_sub_tokens="
-                    f"{self.cfg.max_sub_tokens}; raise --max_sub_tokens "
-                    f"(or disable --sub_dedup)")
-            for k in self.exclude_keys:
-                arrays.pop(k, None)
-            if self.cast_bf16:
-                import ml_dtypes
-                for k in self._BF16_KEYS:
-                    if k in arrays:
-                        arrays[k] = arrays[k].astype(ml_dtypes.bfloat16)
-            yield arrays, meta, bucket
+                    f"an example carries {n_pos_max} positive attention "
+                    f"cells > att_entry_cap={self.cfg.att_entry_cap}; "
+                    f"raise --att_entry_cap (the loss would silently "
+                    f"drop positives)")
+        n_over = max(meta.get("sub_tok_overflow", [0]), default=0)
+        if n_over:
+            # dedup contract capacity overflow: dropped tokens would
+            # silently diverge from the expanded reference windows
+            raise ValueError(
+                f"an example's subtitle windows need {n_over} more "
+                f"unique tokens than max_sub_tokens="
+                f"{self.cfg.max_sub_tokens}; raise --max_sub_tokens "
+                f"(or disable --sub_dedup)")
+        for k in self.exclude_keys:
+            arrays.pop(k, None)
+        if self.cast_bf16:
+            import ml_dtypes
+            for k in self._BF16_KEYS:
+                if k in arrays:
+                    arrays[k] = arrays[k].astype(ml_dtypes.bfloat16)
+        return arrays, meta, bucket
 
     def _grouped_batches(self):
         """Stack `group` consecutive same-bucket batches along a new leading
