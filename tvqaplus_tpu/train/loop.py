@@ -189,6 +189,11 @@ class Trainer:
             preds = jnp.argmax(out["answer_scores"], axis=-1)
             return metrics, preds
 
+        def eval_scan(state: TrainState, batches):
+            """K same-bucket eval batches per dispatch (lax.map — eval steps
+            are independent); same amortization as the train scan."""
+            return jax.lax.map(lambda b: eval_step(state, b), batches)
+
         repl = replicated(self.mesh)
         state_sh = state_shardings(self.mesh, self.state)
         self._train_step = jax.jit(
@@ -200,6 +205,7 @@ class Trainer:
             donate_argnums=(0,),
             out_shardings=(state_sh, repl))
         self._eval_step = jax.jit(eval_step, out_shardings=(repl, repl))
+        self._eval_scan = jax.jit(eval_scan, out_shardings=(repl, repl))
 
     # ------------------------------------------------------------------
     def _pipeline(self, dataset, shuffle, batch_size, group=1):
@@ -224,24 +230,42 @@ class Trainer:
 
     def validate(self, dataset, max_batches=None):
         """Full pass over the valid split; returns (acc, loss, qid_corrects)
-        (reference main.py:151-183)."""
+        (reference main.py:151-183).  Batches ride the same-bucket grouped
+        dispatch (``eval_steps_per_dispatch``) unless a batch budget caps
+        the pass (debug / max_batches)."""
         dataset.set_mode("valid")
+        group = max(1, getattr(self.cfg, "eval_steps_per_dispatch", 1))
+        if max_batches is not None or self.cfg.debug:
+            group = 1  # batch-budgeted pass: keep per-batch accounting
         pipeline = self._pipeline(dataset, shuffle=False,
-                                  batch_size=self.cfg.test_bsz)
+                                  batch_size=self.cfg.test_bsz, group=group)
         totals = {"n_correct": 0.0, "n": 0.0, "loss": 0.0}
         qid_corrects = []
         for i, (batch, meta, _) in enumerate(pipeline):
-            metrics, preds = self._eval_step(self.state, batch)
-            preds = np.asarray(jax.device_get(preds))
-            targets = np.asarray(jax.device_get(batch["target"]))
+            stacked = batch["ex_mask"].ndim == 2
+            metrics, preds = (self._eval_scan if stacked
+                              else self._eval_step)(self.state, batch)
+            preds = np.asarray(jax.device_get(preds)).reshape(-1)
+            targets = np.asarray(jax.device_get(batch["target"])).reshape(-1)
             ex_mask = np.asarray(jax.device_get(batch["ex_mask"]))
-            n = int(ex_mask.sum())
-            totals["n_correct"] += float(metrics["n_correct"])
-            totals["loss"] += float(metrics["loss"])
-            totals["n"] += n
-            for j in range(n):
-                qid_corrects.append("%d\t%d" % (
-                    meta["qid"][j], int(preds[j] == targets[j])))
+            totals["n_correct"] += float(np.sum(
+                np.asarray(metrics["n_correct"])))
+            totals["loss"] += float(np.sum(np.asarray(metrics["loss"])))
+            if stacked:
+                k, b = ex_mask.shape
+                for s in range(k):
+                    n = int(ex_mask[s].sum())
+                    totals["n"] += n
+                    for j in range(n):
+                        qid_corrects.append("%d\t%d" % (
+                            meta["qid"][s * b + j],
+                            int(preds[s * b + j] == targets[s * b + j])))
+            else:
+                n = int(ex_mask.sum())
+                totals["n"] += n
+                for j in range(n):
+                    qid_corrects.append("%d\t%d" % (
+                        meta["qid"][j], int(preds[j] == targets[j])))
             if max_batches is not None and i + 1 >= max_batches:
                 break
             if self.cfg.debug and i == 20:
