@@ -60,7 +60,7 @@ def check_parity_dropout0(args):
 
     def f_pallas(*a):
         return loss_of(*pa.fused_qa_ctx_attention(
-            *a, seed, 10.0, jnp.float32, 0.0))
+            *a, seed, None, 10.0, jnp.float32, 0.0))
 
     def f_ref(*a):
         return loss_of(*pa.reference_impl(*a, scale=10.0))
@@ -79,7 +79,7 @@ def check_dropout_path(args):
     rate = 0.35
 
     def f(seed, *a):
-        return pa.fused_qa_ctx_attention(*a, seed, 10.0, jnp.float32, rate)
+        return pa.fused_qa_ctx_attention(*a, seed, None, 10.0, jnp.float32, rate)
 
     m1, _ = f(jnp.int32(7), *args)
     m1b, _ = f(jnp.int32(7), *args)
@@ -93,7 +93,7 @@ def check_dropout_path(args):
         a = list(args)
         a[7] = beta
         return loss_of(*pa.fused_qa_ctx_attention(
-            *a, seed, 10.0, jnp.float32, rate))
+            *a, seed, None, 10.0, jnp.float32, rate))
 
     seed = jnp.int32(3)
     g = jax.grad(loss)(args[7], seed)
@@ -125,7 +125,7 @@ def bench(b, a, li, lqa, lr, d, rate):
     def step_pallas(*a):
         return _scalars(jax.grad(
             lambda *x: loss_of(*pa.fused_qa_ctx_attention(
-                *x, seed, 10.0, jnp.bfloat16, rate)),
+                *x, seed, None, 10.0, jnp.bfloat16, rate)),
             argnums=(0, 2, 8))(*a))
 
     @jax.jit

@@ -58,7 +58,7 @@ def test_custom_vjp_grads_match_reference():
     def loss_pallas(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b):
         mixed, raw = pa.fused_qa_ctx_attention(
             cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed,
-            10.0, jnp.float32, 0.0)
+            None, 10.0, jnp.float32, 0.0)
         return jnp.sum(mixed ** 2) + jnp.sum(jnp.where(raw > -1e9, raw, 0.0))
 
     def loss_ref(cn, ce, qn, qe, *rest):
@@ -73,6 +73,43 @@ def test_custom_vjp_grads_match_reference():
                                    rtol=1e-3, atol=1e-3)
 
 
+def test_target_raw_mode_matches_full():
+    """raw_mode="target" must equal the full raw output gathered at the
+    target answer — forward values and gradients (the training att loss
+    reads nothing else)."""
+    args = make_inputs()
+    seed = jnp.zeros((), jnp.int32)
+    targets = jnp.array([3, 1], jnp.int32)
+
+    full_mixed, full_raw = pa.fused_qa_ctx_attention(
+        *args, seed, None, 10.0, jnp.float32, 0.0, "full")
+    t_mixed, t_raw = pa.fused_qa_ctx_attention(
+        *args, seed, targets, 10.0, jnp.float32, 0.0, "target")
+    np.testing.assert_allclose(np.array(t_mixed), np.array(full_mixed),
+                               rtol=1e-6)
+    gathered = np.array(full_raw)[np.arange(B), np.array(targets)]
+    np.testing.assert_allclose(np.array(t_raw), gathered, rtol=1e-6)
+
+    def loss(mode):
+        def f(cn, ce, qn, qe, gamma, beta, w, b):
+            a = (cn, ce, qn, qe) + args[4:6] + (gamma, beta, w, b)
+            mixed, raw = pa.fused_qa_ctx_attention(
+                *a, seed, targets if mode == "target" else None,
+                10.0, jnp.float32, 0.0, mode)
+            if mode == "full":
+                raw = raw[jnp.arange(B), targets]
+            return (jnp.sum(mixed ** 2)
+                    + jnp.sum(jnp.where(raw > -1e9, raw ** 2, 0.0)))
+        return f
+
+    diff_args = args[:4] + args[6:]
+    g_full = jax.grad(loss("full"), argnums=tuple(range(8)))(*diff_args)
+    g_tgt = jax.grad(loss("target"), argnums=tuple(range(8)))(*diff_args)
+    for gf, gt in zip(g_full, g_tgt):
+        np.testing.assert_allclose(np.array(gt), np.array(gf),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_kernel_invoked_in_train_step(monkeypatch):
     """A train=True STAGE step with use_pallas must actually call the fused
     kernel (round-1 verdict: the kernel silently bypassed training because
@@ -85,7 +122,7 @@ def test_kernel_invoked_in_train_step(monkeypatch):
     real = pa.fused_qa_ctx_attention
 
     def spy(*args, **kw):
-        calls.append(args[13] if len(args) > 13 else kw.get("dropout_rate"))
+        calls.append(args[14] if len(args) > 14 else kw.get("dropout_rate"))
         return real(*args, **kw)
 
     monkeypatch.setattr(pa, "fused_qa_ctx_attention", spy)
@@ -131,7 +168,7 @@ def test_grad_with_bf16_primals():
         # upstream of the kernel (as l2_normalize/_dropout do)
         cn, ce, qn, qe = (x / 1.25 for x in (cn, ce, qn, qe))
         mixed, _ = pa.fused_qa_ctx_attention(
-            cn, ce, qn, qe, *rest, seed, 10.0, bf16, 0.0)
+            cn, ce, qn, qe, *rest, seed, None, 10.0, bf16, 0.0)
         return jnp.sum(mixed.astype(jnp.float32) ** 2)
 
     grads = jax.grad(loss, argnums=(0, 1, 2, 3))(

@@ -100,3 +100,39 @@ def test_with_raw_false_matches_full_kernel():
         lambda a, b: np.testing.assert_allclose(np.array(a), np.array(b),
                                                 rtol=1e-6, atol=1e-8),
         g_full, g_lean)
+
+
+def test_vid_raw_target_mode_matches_full():
+    """The Trainer's production setting (need_vid_raw="target": the kernel
+    emits raw scores only at each example's target answer) must give the
+    same training loss + gradients as the full raw output + loss-side
+    gather."""
+    import jax.numpy as jnp
+    from tvqaplus_tpu.models import losses
+    from tvqaplus_tpu.models.stage import STAGE
+
+    cfg = tiny_cfg(add_local=True, use_pallas=True, dropout=0.0)
+    batch = tiny_batch()
+    batch["att_labels"][0, 0, 0, 0] = 1.0
+    batch = {k: jnp.array(v) for k, v in batch.items()}
+    model = STAGE(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+
+    def loss_fn(mode):
+        def f(params):
+            out = model.apply({"params": params}, batch, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(1)},
+                              need_sub_raw=False, need_vid_raw=mode)
+            loss, _ = losses.total_loss(out, batch, jax.random.PRNGKey(2),
+                                        use_sup_att=True, train=True)
+            return loss
+        return f
+
+    l_full, g_full = jax.value_and_grad(loss_fn(True))(variables["params"])
+    l_tgt, g_tgt = jax.value_and_grad(loss_fn("target"))(variables["params"])
+    np.testing.assert_allclose(float(l_full), float(l_tgt), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.array(a), np.array(b),
+                                                rtol=1e-5, atol=1e-7),
+        g_full, g_tgt)

@@ -92,7 +92,10 @@ def att_loss(scores, att_labels, att_defined, targets, ex_mask, rng,
     """Vectorized supervised-attention ranking loss.
 
     Args:
-      scores: (B, A, Li, Lqa, Lr) raw cosine scores (padding at -1e10).
+      scores: (B, A, Li, Lqa, Lr) raw cosine scores (padding at -1e10) —
+        or already target-sliced (B, Li, Lqa, Lr) (the fused attention
+        kernel's raw_mode="target" output: the loss only ever reads the
+        target answer, so the kernel emits just that slice).
       att_labels / att_defined: dense labels + defined-mask (batching.py).
       targets: (B,) correct-answer indices; ex_mask: (B,).
       rng: PRNG key for negative sampling.
@@ -101,8 +104,12 @@ def att_loss(scores, att_labels, att_defined, targets, ex_mask, rng,
     Returns (loss, aux) where aux reports n_pairs and n_pos_dropped (entries
     beyond the cap — should be 0 with a well-chosen cap).
     """
-    b, _, li, lw, lr = scores.shape
-    pred = scores[jnp.arange(b), targets]                    # (B, Li, Lqa, Lr)
+    if scores.ndim == 5:
+        b, _, li, lw, lr = scores.shape
+        pred = scores[jnp.arange(b), targets]                # (B, Li, Lqa, Lr)
+    else:
+        b, li, lw, lr = scores.shape
+        pred = scores
     m = li * lw * lr
     entry_cap = min(entry_cap, m)
     pred_flat = pred.reshape(b, m)
@@ -225,8 +232,13 @@ def total_loss(outputs, batch, rng, *, att_weight=0.1, ts_weight=0.5,
     loss = c_loss + ts_weight * t_loss
     if use_sup_att and train and vfeat_flag:
         entries = batch if "att_entry_idx" in batch else None
+        # prefer the target-sliced raw scores when the model emitted them
+        # (raw_mode="target": 1/A the tensor, no answer gather here)
+        scores = outputs.get("vid_raw_target_s", None)
+        if scores is None:
+            scores = outputs["vid_raw_s"]
         a_loss, aux = att_loss(
-            outputs["vid_raw_s"], batch.get("att_labels"),
+            scores, batch.get("att_labels"),
             batch.get("att_defined"),
             batch["target"], batch["ex_mask"], rng,
             num_negatives=num_negatives, loss_type=att_loss_type,

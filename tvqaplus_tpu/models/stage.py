@@ -169,7 +169,8 @@ class STAGE(nn.Module):
         return self.input_encoder(x, mask, train=train)
 
     def qa_ctx_attention(self, qa_embed, ctx_embed, qa_mask, ctx_mask, *,
-                         train, use_void=False, need_raw=True):
+                         train, use_void=False, need_raw=True,
+                         targets=None):
         """Structured attention + BiDAF-style fusion
         (reference stage.py:365-387).
 
@@ -203,11 +204,14 @@ class STAGE(nn.Module):
                 qn = _dropout(qn, c.dropout, rng_q)
                 seed = jax.random.randint(rng_seed, (), 0, 2 ** 31 - 1,
                                           dtype=jnp.int32)
+            raw_mode = {True: "full", False: "none",
+                        "target": "target"}[need_raw]
             out = fused_qa_ctx_attention(
                 cn, ce, qn, qe, qa_mask[:, :, 0], ctx_mask[:, 0],
-                dp.ln_scale, dp.ln_bias, dp.kernel, dp.bias, seed, c.scale,
-                c.dtype, c.dropout if dropout_active else 0.0, need_raw)
-            mixed, raw_s = out if need_raw else (out, None)
+                dp.ln_scale, dp.ln_bias, dp.kernel, dp.bias, seed,
+                targets if raw_mode == "target" else None, c.scale,
+                c.dtype, c.dropout if dropout_active else 0.0, raw_mode)
+            mixed, raw_s = out if raw_mode != "none" else (out, None)
             # mixed_mask = (s_mask.sum(-1) != 0): word valid & any region
             any_region = (jnp.sum(ctx_mask[:, 0], -1) > 0)   # (B, Li)
             mixed_mask = (qa_mask[:, :, 0][:, :, None, :]
@@ -226,6 +230,10 @@ class STAGE(nn.Module):
         mixed = jnp.concatenate([qa_b, u_a, qa_b * u_a], axis=-1)
         mixed = self.c2q_down_projection(mixed, train=train)
         mixed_mask = (jnp.sum(s_mask, -1) != 0).astype(jnp.float32)
+        if need_raw == "target":  # gather the target answer (XLA DCEs the
+            # rest of raw_s when nothing else reads it)
+            b = raw_s.shape[0]
+            raw_s = raw_s[jnp.arange(b), targets]
         return mixed, mixed_mask, raw_s, s_norm
 
     # ------------------------------------------------------------------
@@ -238,10 +246,13 @@ class STAGE(nn.Module):
           train: enables dropout and the GT-anchored proposal branch.
           need_sub_raw / need_vid_raw: emit the raw cosine-score tensors
             (B, A, Li, Lqa, Lc) — the largest forward outputs.  The train
-            step needs only vid (att loss), QA-only eval needs neither,
-            grounding inference needs vid; under the fused kernel a False
-            skips the HBM write + backward read entirely (the XLA path
-            relies on DCE).  Defaults keep every output (parity tests).
+            step needs only the vid one AND only at the target answer
+            (att loss) — pass need_vid_raw="target" to emit
+            ``vid_raw_target_s`` (B, Li, Lqa, Lr) instead, 1/A the bytes;
+            QA-only eval needs neither, grounding inference needs full
+            vid.  Under the fused kernel False/"target" shrink the HBM
+            write + backward read (the XLA path relies on DCE).  Defaults
+            keep every output (parity tests).
 
         Returns a dict:
           answer_scores: (B, P, A) train+add_local / (B, A) otherwise
@@ -312,8 +323,11 @@ class STAGE(nn.Module):
                 self.qa_ctx_attention(a_embed, vid_embed, a_mask, vid_mask,
                                       train=train,
                                       use_void=c.non_visual > 0,
-                                      need_raw=need_vid_raw)
-            if need_vid_raw:
+                                      need_raw=need_vid_raw,
+                                      targets=batch.get("target"))
+            if need_vid_raw == "target":
+                out["vid_raw_target_s"] = vid_raw_s   # (B, Li, Lqa, Lr)
+            elif need_vid_raw:
                 out["vid_raw_s"] = vid_raw_s
                 out["vid_normalized_s"] = vid_norm_s
 

@@ -155,7 +155,7 @@ def _stack_rows(per_frame):
 def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
                 gamma_ref, beta_ref, w_ref, b_ref,
                 mixed_ref, *maybe_raw_ref, scale, dropout_rate,
-                compute_dtype):
+                compute_dtype, raw_mode="full"):
     """One (batch, frame-block) cell.
 
     Refs (leading singleton block dims included):
@@ -163,10 +163,16 @@ def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
       qn/qe: (1, T, Lr, D) normalized(+sim-dropout) / raw context frames
       cm: (1, A, Lqa, 1) QA mask; qm: (1, T, 1, Lr) context mask
       gamma/beta: (1, 3D); w: (3D, D); b: (1, D)
-      mixed_ref: (1, A, T, Lqa, D); raw_ref: (1, A, T, Lqa, Lr) — absent
-      under ``with_raw=False`` (the raw scores are the kernel's largest
-      HBM write; callers that never read them — the sub stream in
-      training, both streams in QA-only eval — skip it entirely)
+      mixed_ref: (1, A, T, Lqa, D)
+      raw_ref: the raw scores are the kernel's largest HBM write, so they
+      are emitted only as consumed (``raw_mode``):
+        "full":   (1, A, T, Lqa, Lr) — every answer (grounding inference,
+                  parity tests);
+        "target": (1, T, Lqa, Lr) — the example's target answer only (the
+                  att loss reads nothing else in training; 1/A the bytes).
+                  Per-example targets ride the scalar-prefetch operand
+                  after the seed (``seed_ref[1 + batch_index]``);
+        "none":   absent (sub stream in training, QA-only eval).
     """
     raw_ref = maybe_raw_ref[0] if maybe_raw_ref else None
     a_dim, lqa, d = cn_ref.shape[1:]
@@ -194,8 +200,14 @@ def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
                             c_mask, qm_ref[0, t].astype(jnp.float32),
                             scale, ct)
         frames.append(f)
-        if raw_ref is not None:
+        if raw_ref is not None and raw_mode == "full":
             raw_ref[0, :, t] = f["masked"].reshape(a_dim, lqa, -1)
+        elif raw_ref is not None:  # "target": fold out the answer dim
+            tgt = seed_ref[1 + pl.program_id(0)]
+            m3 = f["masked"].reshape(a_dim, lqa, -1)
+            sel = jax.lax.broadcasted_iota(
+                jnp.int32, (a_dim, 1, 1), 0) == tgt
+            raw_ref[0, t] = jnp.sum(jnp.where(sel, m3, 0.0), axis=0)
 
     # everything row-local (LN + dropout + projection) runs frame-MERGED
     a_rows = _stack_rows([f["a"] for f in frames])       # (T*M, D)
@@ -210,7 +222,7 @@ def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
 
 def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
                 gamma_ref, beta_ref, w_ref, b_ref, gmix_ref, *refs,
-                scale, dropout_rate, compute_dtype, with_raw):
+                scale, dropout_rate, compute_dtype, raw_mode):
     """Backward cell: recompute the forward from inputs (nothing saved but
     the kernel inputs), replay the dropout stream, and accumulate all eight
     gradients.  Accumulation layout:
@@ -220,10 +232,12 @@ def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
         whole grid (init at i == j == 0)
     TPU grid steps run sequentially, so read-modify-write is race-free.
 
-    ``with_raw=False`` drops the graw input ref (no raw output existed in
-    the forward); the raw-score gradient term vanishes from g_s.
+    ``raw_mode`` mirrors the forward: "none" drops the graw input ref (no
+    raw output existed) and the raw-score gradient term vanishes from
+    g_s; "target" receives the (1, T, Lqa, Lr) target-answer cotangent
+    and scatters it onto the target's rows.
     """
-    if with_raw:
+    if raw_mode != "none":
         graw_ref, *refs = refs
     (gcn_ref, gce_ref, gqn_ref, gqe_ref,
      ggamma_ref, gbeta_ref, gw_ref, gb_ref) = refs
@@ -317,8 +331,14 @@ def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
         g_z = p0 * (g_p0 - jnp.sum(g_p0 * p0, axis=-1, keepdims=True))
         g_masked = g_z * scale * (f["zc"] > SAFE_FLOOR).astype(jnp.float32)
         g_s = g_masked
-        if with_raw:
+        if raw_mode == "full":
             g_s = g_s + graw_ref[0, :, t].reshape(m, lr)
+        elif raw_mode == "target":  # scatter onto the target answer's rows
+            tgt = seed_ref[1 + i]
+            sel = jax.lax.broadcasted_iota(
+                jnp.int32, (a_dim, 1, 1), 0) == tgt
+            g_full = jnp.where(sel, graw_ref[0, t][None], 0.0)
+            g_s = g_s + g_full.reshape(m, lr)
         gcn_acc = gcn_acc + jax.lax.dot_general(
             g_s.astype(ct), qn, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                    # (M, D)
@@ -363,32 +383,50 @@ def _common_operands(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b):
             w.astype(jnp.float32), b.reshape(1, d).astype(jnp.float32))
 
 
+def _pack_scalars(seed, targets, bsz, raw_mode):
+    """Scalar-prefetch operand: [seed] (+ per-example targets for the
+    "target" raw mode — one prefetch slot keeps every index_map unary)."""
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    if raw_mode != "target":
+        return seed_arr
+    tgt = jnp.zeros((bsz,), jnp.int32) if targets is None \
+        else jnp.asarray(targets, jnp.int32).reshape(bsz)
+    return jnp.concatenate([seed_arr, tgt])
+
+
 def _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
                     scale, dropout_rate, seed, interpret=False,
-                    compute_dtype=jnp.bfloat16, with_raw=True):
+                    compute_dtype=jnp.bfloat16, raw_mode="full",
+                    targets=None):
     """Launch the forward kernel.  Shapes:
       cn/ce: (B, A, Lqa, D); qn/qe: (B, Li, Lr, D);
       c_mask: (B, A, Lqa); q_mask: (B, Li, Lr).
-    Returns mixed (B, A, Li, Lqa, D) in the compute dtype and, with
-    ``with_raw``, raw_S (B, A, Li, Lqa, Lr) in f32.
+    Returns mixed (B, A, Li, Lqa, D) in the compute dtype and, per
+    ``raw_mode``, raw_S in f32: (B, A, Li, Lqa, Lr) ("full") /
+    (B, Li, Lqa, Lr) at the target answer ("target") / nothing ("none").
     """
     bsz, num_a, lqa, d = cn.shape
     _, li, lr, _ = qn.shape
     t = _frames_per_cell(li, num_a * lqa, lr, d)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     kernel = functools.partial(_fwd_kernel, scale=scale,
                                dropout_rate=dropout_rate,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               raw_mode=raw_mode)
     out_specs = [pl.BlockSpec((1, num_a, t, lqa, d),
                               lambda i, j, s: (i, 0, j, 0, 0))]
     out_shape = [jax.ShapeDtypeStruct((bsz, num_a, li, lqa, d),
                                       _out_dtype(compute_dtype))]
-    if with_raw:
+    if raw_mode == "full":
         out_specs.append(pl.BlockSpec((1, num_a, t, lqa, lr),
                                       lambda i, j, s: (i, 0, j, 0, 0)))
         out_shape.append(
             jax.ShapeDtypeStruct((bsz, num_a, li, lqa, lr), jnp.float32))
+    elif raw_mode == "target":
+        out_specs.append(pl.BlockSpec((1, t, lqa, lr),
+                                      lambda i, j, s: (i, j, 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, li, lqa, lr), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, li // t),
@@ -400,33 +438,37 @@ def _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(seed_arr, *_common_operands(cn, ce, qn, qe, c_mask, q_mask,
-                                  gamma, beta, w, b))
-    return (out[0], out[1]) if with_raw else out[0]
+    )(_pack_scalars(seed, targets, bsz, raw_mode),
+      *_common_operands(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b))
+    return (out[0], out[1]) if raw_mode != "none" else out[0]
 
 
 def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
                      g_mixed, g_raw, scale, dropout_rate, seed,
                      interpret=False, compute_dtype=jnp.bfloat16,
-                     with_raw=True):
+                     raw_mode="full", targets=None):
     """Launch the backward kernel; returns gradients for
-    (cn, ce, qn, qe, gamma, beta, w, b).  ``g_raw`` is ignored under
-    ``with_raw=False`` (the forward emitted no raw output)."""
+    (cn, ce, qn, qe, gamma, beta, w, b).  ``g_raw`` matches the forward's
+    ``raw_mode``: full (B, A, Li, Lqa, Lr) / target-answer
+    (B, Li, Lqa, Lr) / ignored ("none")."""
     bsz, num_a, lqa, d = cn.shape
     _, li, lr, _ = qn.shape
     t = _frames_per_cell(li, num_a * lqa, lr, d)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     kernel = functools.partial(_bwd_kernel, scale=scale,
                                dropout_rate=dropout_rate,
                                compute_dtype=compute_dtype,
-                               with_raw=with_raw)
+                               raw_mode=raw_mode)
     g_specs = [pl.BlockSpec((1, num_a, t, lqa, d),
                             lambda i, j, s: (i, 0, j, 0, 0))]
     g_operands = [g_mixed]
-    if with_raw:
+    if raw_mode == "full":
         g_specs.append(pl.BlockSpec((1, num_a, t, lqa, lr),
                                     lambda i, j, s: (i, 0, j, 0, 0)))
+        g_operands.append(g_raw.astype(jnp.float32))
+    elif raw_mode == "target":
+        g_specs.append(pl.BlockSpec((1, t, lqa, lr),
+                                    lambda i, j, s: (i, j, 0, 0)))
         g_operands.append(g_raw.astype(jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -457,8 +499,8 @@ def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
             jax.ShapeDtypeStruct((3 * d, d), jnp.float32),
             jax.ShapeDtypeStruct((1, d), jnp.float32),
         ],
-    )(seed_arr, *_common_operands(cn, ce, qn, qe, c_mask, q_mask,
-                                  gamma, beta, w, b),
+    )(_pack_scalars(seed, targets, bsz, raw_mode),
+      *_common_operands(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b),
       *g_operands)
     return (gcn, gce, gqn, gqe, ggamma.reshape(gamma.shape),
             gbeta.reshape(beta.shape), gw, gb.reshape(b.shape))
@@ -483,10 +525,11 @@ def reference_impl(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, scale):
     return mixed, masked
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
 def fused_qa_ctx_attention(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
-                           seed, scale, compute_dtype=jnp.bfloat16,
-                           dropout_rate=0.0, with_raw=True):
+                           seed, targets=None, scale=10.0,
+                           compute_dtype=jnp.bfloat16,
+                           dropout_rate=0.0, raw_mode="full"):
     """Pallas forward + Pallas backward (TPU) / rematerialized pure-JAX
     backward (interpret mode, dropout_rate == 0 only).
 
@@ -494,39 +537,46 @@ def fused_qa_ctx_attention(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
     folded with the grid position per cell.  Ignored when
     ``dropout_rate == 0`` — pass 0.
 
-    ``with_raw=False`` returns only ``mixed`` and skips the raw-score
-    output entirely (the kernel's largest HBM write + the matching
-    backward read).  Callers that never consume the raw scores — the
-    subtitle stream in training, both streams in QA-only eval — save
-    ~(B*A*Li*Lqa*Lr)*4 bytes each way.
+    ``raw_mode`` sizes the raw-score output to its actual consumer (it is
+    the kernel's largest HBM write + the matching backward read):
+      "full":   (B, A, Li, Lqa, Lr) raw scores (grounding inference,
+                parity tests);
+      "target": (B, Li, Lqa, Lr) at each example's ``targets`` answer —
+                all the att loss ever reads in training; 1/A the bytes
+                each way and the loss-side answer gather disappears;
+      "none":   no raw output at all (sub stream in training, QA-only
+                eval) — saves ~(B*A*Li*Lqa*Lr)*4 bytes each way.
     """
     return _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
                            scale, dropout_rate=dropout_rate, seed=seed,
                            interpret=jax.default_backend() != "tpu",
-                           compute_dtype=compute_dtype, with_raw=with_raw)
+                           compute_dtype=compute_dtype, raw_mode=raw_mode,
+                           targets=targets)
 
 
 def _fused_fwd(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed,
-               scale, compute_dtype, dropout_rate, with_raw):
+               targets, scale, compute_dtype, dropout_rate, raw_mode):
     out = fused_qa_ctx_attention(cn, ce, qn, qe, c_mask, q_mask, gamma,
-                                 beta, w, b, seed, scale, compute_dtype,
-                                 dropout_rate, with_raw)
-    return out, (cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed)
+                                 beta, w, b, seed, targets, scale,
+                                 compute_dtype, dropout_rate, raw_mode)
+    return out, (cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed,
+                 targets)
 
 
-def _fused_bwd(scale, compute_dtype, dropout_rate, with_raw, residuals, g):
+def _fused_bwd(scale, compute_dtype, dropout_rate, raw_mode, residuals, g):
     on_tpu = jax.default_backend() == "tpu"
     if dropout_rate > 0.0 and not on_tpu:
         raise NotImplementedError(
             "in-kernel dropout backward needs the TPU PRNG; non-TPU "
             "callers must use the pure-JAX path when dropout is active")
-    cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed = residuals
-    g_mixed, g_raw = g if with_raw else (g, None)
+    (cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed,
+     targets) = residuals
+    g_mixed, g_raw = g if raw_mode != "none" else (g, None)
     gcn, gce, gqn, gqe, ggamma, gbeta, gw, gb = _pallas_backward(
         cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
         g_mixed, g_raw, scale, dropout_rate, seed,
         interpret=not on_tpu, compute_dtype=compute_dtype,
-        with_raw=with_raw)
+        raw_mode=raw_mode, targets=targets)
     # cotangents MUST ride the primal dtypes: the kernel accumulates in f32,
     # but under the bf16 policy cn/ce/qn/qe arrive bf16, and upstream
     # transpose rules (lax.div in l2_normalize/_dropout) reject mixed dtypes
@@ -536,7 +586,9 @@ def _fused_bwd(scale, compute_dtype, dropout_rate, with_raw, residuals, g):
              jnp.zeros_like(c_mask), jnp.zeros_like(q_mask),
              ggamma, gbeta, gw, gb)
     g_seed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
-    return tuple(grads) + (g_seed,)
+    g_targets = None if targets is None else \
+        np.zeros(jnp.shape(targets), jax.dtypes.float0)
+    return tuple(grads) + (g_seed, g_targets)
 
 
 fused_qa_ctx_attention.defvjp(_fused_fwd, _fused_bwd)

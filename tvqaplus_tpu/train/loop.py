@@ -140,10 +140,11 @@ class Trainer:
         model, tx, loss_kwargs = self.model, self.tx, self._loss_kwargs
 
         # the raw cosine-score tensors are the largest forward outputs;
-        # training consumes only the vid one (att loss), eval neither —
-        # the fused kernel skips un-needed ones entirely (stage.py)
-        need_vid_raw = bool(loss_kwargs["use_sup_att"]
-                            and loss_kwargs["vfeat_flag"])
+        # training consumes only the vid one and only at the target answer
+        # (att loss), eval neither — the fused kernel emits exactly that
+        # (stage.py need_*_raw / ops/pallas_attention.py raw_mode)
+        need_vid_raw = "target" if (loss_kwargs["use_sup_att"]
+                                    and loss_kwargs["vfeat_flag"]) else False
 
         def step_body(state: TrainState, batch, rng, use_hard_negatives):
             step_rng = jax.random.fold_in(rng, state.step)
