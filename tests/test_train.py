@@ -146,6 +146,29 @@ class TestPipeline:
                     f"bucket-{bucket} batch"
         assert sorted(seen) == sorted(by_qid_bucket)  # exactly once each
 
+    def test_nonfinite_loss_halts_with_crash_checkpoint(self, tmp_path):
+        """A NaN step inside a log window must halt training at the next
+        log point and snapshot the diverged state (SURVEY §5 failure
+        detection)."""
+        cfg = small_cfg(tmp_path, log_freq=2, n_epoch=1)
+        mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+        trainer = Trainer(cfg, mesh=mesh)
+        real = trainer._train_step
+
+        def poisoned(state, batch, rng, use_hard_negatives):
+            state, metrics = real(state, batch, rng,
+                                  use_hard_negatives=use_hard_negatives)
+            metrics["loss"] = metrics["loss"] * jnp.nan
+            return state, metrics
+
+        trainer._train_step = poisoned
+        ds = SyntheticTVQADataset(cfg, 16, mode="train")
+        vds = SyntheticTVQADataset(cfg, 4, mode="valid")
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            trainer.train_epoch(ds, epoch=0, valid_dataset=vds)
+        assert os.path.exists(os.path.join(cfg.results_dir,
+                                           "crash_state.ckpt"))
+
     def test_att_entry_cap_overflow_is_loud(self, tmp_path):
         """An example with more positive attention cells than att_entry_cap
         must raise (the att loss would silently drop positives —

@@ -160,6 +160,8 @@ class Config:
     eval_steps_per_dispatch: int = 4    # K same-bucket eval batches per
                                         # dispatch (lax.map; serving twin of
                                         # steps_per_dispatch)
+    halt_on_nonfinite: bool = True      # NaN/inf window loss: snapshot
+                                        # crash_state.ckpt + halt (train/loop)
     profile_dir: str = ""               # if set, dump a jax.profiler trace
     compilation_cache_dir: str = "~/.cache/tvqaplus_tpu_xla"  # "" disables
 

@@ -333,6 +333,21 @@ class Trainer:
                                   ("n_correct", "n") else
                                   [float(x) for x in jax.device_get(v)])
                               for k, v in window.items()}
+                    # failure detection (SURVEY §5): the window fetch is the
+                    # only place losses materialize on host — a NaN/inf step
+                    # anywhere in the window surfaces here at zero extra
+                    # sync cost.  Snapshot the diverged state for post-mortem
+                    # and halt instead of training on garbage.
+                    if getattr(cfg, "halt_on_nonfinite", True) and \
+                            not np.isfinite(sum(window["loss"])):
+                        crash = os.path.join(cfg.results_dir,
+                                             "crash_state.ckpt")
+                        self.save(crash, epoch=epoch)
+                        raise FloatingPointError(
+                            f"non-finite training loss in batches "
+                            f"[{max(0, log_point - cfg.log_freq)}, "
+                            f"{log_point}) of epoch {epoch}; diverged "
+                            f"state saved to {crash}")
                     n = max(float(window["n"]), 1)
                     self.logger.add_scalar("Train/Acc",
                                            window["n_correct"] / n, niter)
