@@ -11,6 +11,10 @@ import os
 
 import jax
 
+# subprocess backend forcing — see main.py (axon overrides JAX_PLATFORMS)
+if os.environ.get("TVQA_FORCE_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["TVQA_FORCE_PLATFORM"])
+
 from tvqaplus_tpu.config import parse_args
 from tvqaplus_tpu.data.synthetic import SyntheticTVQADataset
 from tvqaplus_tpu.infer.predict import InferenceRunner

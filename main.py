@@ -10,7 +10,18 @@ equivalent in this environment).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# The axon TPU plugin registers from sitecustomize and overrides
+# JAX_PLATFORMS; jax.config.update AFTER import is the way to force a
+# backend (tests/conftest.py does the same).  Harnesses that drive this
+# CLI as a subprocess (scripts/ref_eval_e2e.py) set TVQA_FORCE_PLATFORM.
+if os.environ.get("TVQA_FORCE_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["TVQA_FORCE_PLATFORM"])
 
 from tvqaplus_tpu.config import parse_args
 from tvqaplus_tpu.data.synthetic import SyntheticTVQADataset

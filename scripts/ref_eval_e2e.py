@@ -32,8 +32,17 @@ sys.path.insert(0, REPO)
 REF_EVAL = "/root/reference/eval/eval_tvqa_plus.py"
 
 
+PLATFORM = ""  # set by --platform; exported to CLI subprocesses
+
+
 def run(cmd, **kw):
     print("+", " ".join(cmd), flush=True)
+    if "env" not in kw and PLATFORM:
+        # main.py / inference.py honor TVQA_FORCE_PLATFORM (plain
+        # JAX_PLATFORMS is overridden by the axon sitecustomize)
+        env = dict(os.environ)
+        env["TVQA_FORCE_PLATFORM"] = PLATFORM
+        kw["env"] = env
     return subprocess.run(cmd, check=True, capture_output=True, text=True,
                           **kw)
 
@@ -65,11 +74,20 @@ def main():
     ap.add_argument("--root", default="results/ref_eval_e2e")
     ap.add_argument("--full", action="store_true",
                     help="reference dims: 768/300/25, 24 videos")
+    ap.add_argument("--hsz", type=int, default=0,
+                    help="model width override (e.g. --full --hsz 32 keeps "
+                         "the REAL artifact formats/dims but a CPU-feasible "
+                         "model — the data-contract dress rehearsal)")
     ap.add_argument("--n_epoch", type=int, default=0,
                     help="override epochs (default 4 small / 2 full)")
     ap.add_argument("--skip_train", default="",
                     help="reuse an existing results dir (skip steps 2-3)")
+    ap.add_argument("--platform", default="",
+                    help="force the train/inference subprocesses' jax "
+                         "backend (e.g. cpu)")
     args = ap.parse_args()
+    global PLATFORM
+    PLATFORM = args.platform
 
     from tvqaplus_tpu.data.fixtures import gt_as_prediction, write_artifacts
 
@@ -107,7 +125,9 @@ def main():
                   "--test_bsz=8", "--use_sup_att", "--add_local",
                   "--no_core_driver",
                   f"--results_dir_base={root}/run"]
-        if not args.full:
+        if args.hsz:
+            flags += [f"--hsz={args.hsz}"]
+        elif not args.full:
             flags += ["--hsz=32"]
         out = run([sys.executable, os.path.join(REPO, "main.py")] + flags,
                   cwd=REPO).stdout
