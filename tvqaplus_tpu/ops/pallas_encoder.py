@@ -48,8 +48,13 @@ def _seqs_per_cell(g, l, d, k, budget_bytes=13 * 1024 * 1024):
 
     Calibrated against Mosaic's scoped-stack accounting on v5e (16 MB):
     ~15 live (rows, D) f32 equivalents for the LN/matmul chain plus ~2 per
-    conv tap (each roll materializes a live rotated copy); k=5 fits 1000
-    rows, k=7 OOMs at 1250 (measured)."""
+    conv tap (each roll materialized a live rotated copy); k=5 fit 1000
+    rows, k=7 OOMed at 1250 (measured).  The conv stages now use a RUNNING
+    roll (one rotated copy live at a time, `_dwconv_*`), which should cut
+    the per-tap term to ~O(1) — the formula deliberately keeps the old
+    conservative accounting until re-calibrated on hardware; shrink the
+    2*k term after measuring (larger cells = fewer launches, bigger
+    matmuls — the lever that previously made k=7 lose to XLA)."""
     def footprint(t):
         return 4 * (15 + 2 * k) * t * l * d
     best = 1
@@ -106,32 +111,45 @@ def _seq_masks(rows, l, k, dtype=jnp.float32):
 
 
 def _dwconv_f(x2, dw, dwb, k, masks):
-    """Depthwise stage on (rows, D): k rolls + masked FMAs."""
+    """Depthwise stage on (rows, D): RUNNING roll — consecutive taps read
+    shifts differing by 1, so one rotated copy evolves via single-row
+    rolls instead of k independent rolls staying live at once (the VMEM
+    ceiling that capped rows/cell, see _seqs_per_cell)."""
     pad = k // 2
     out = dwb * jnp.ones_like(x2)
+    r = _roll_rows(x2, -pad)
     for j in range(k):
-        s = j - pad
-        out = out + dw[j] * (_roll_rows(x2, s) * masks[s])
+        out = out + dw[j] * (r * masks[j - pad])
+        if j < k - 1:
+            r = _roll_rows(r, 1)
     return out
 
 
 def _dwconv_bwd_x(g2, dw, k, masks):
     """dX of the depthwise stage: out[p] read x[p+s], so
-    dX[q] += dw * g[q-s] for positions where the read was in-sequence."""
+    dX[q] += dw * g[q-s] where the read was in-sequence.
+    roll(g*m_s, -s) == roll(g, -s) * roll(m_s, -s): the rolled mask is the
+    static write-side mask, and roll(g, -s) runs as a running roll."""
     pad = k // 2
     gx = jnp.zeros_like(g2)
+    r = _roll_rows(g2, pad)                            # roll(g, -(-pad))
     for j in range(k):
         s = j - pad
-        gx = gx + dw[j] * _roll_rows(g2 * masks[s], -s)
+        gx = gx + dw[j] * (r * masks[-s])              # masks[-s] == rolled
+        if j < k - 1:
+            r = _roll_rows(r, -1)
     return gx
 
 
 def _dwconv_bwd_w(x2, g2, k, masks):
-    """dDW (k, D) and dDWB (1, D) of the depthwise stage."""
+    """dDW (k, D) and dDWB (1, D) of the depthwise stage (running roll)."""
     pad = k // 2
-    taps = [jnp.sum(_roll_rows(x2, j - pad) * masks[j - pad] * g2,
-                    axis=0, keepdims=True)
-            for j in range(k)]                          # each (1, D)
+    taps = []
+    r = _roll_rows(x2, -pad)
+    for j in range(k):
+        taps.append(jnp.sum(r * masks[j - pad] * g2, axis=0, keepdims=True))
+        if j < k - 1:
+            r = _roll_rows(r, 1)
     gdw = jnp.concatenate(taps, axis=0)                 # (k, D)
     gdwb = jnp.sum(g2, axis=0, keepdims=True)           # (1, D)
     return gdw, gdwb
