@@ -115,14 +115,20 @@ def _attn_frame_fwd(cn, qn, qe, c_mask, q_mask, scale, ct):
 
 
 def _proj_fwd(ce_rows, a_rows, gamma, beta, w_ref, bias, scale_unused,
-              dropout_rate, ct):
+              dropout_rate, ct, skip_out=False):
     """LN([ce; a; ce*a]) -> dropout -> dense on FRAME-MERGED rows: the whole
     frame block's rows go through ONE (T*M, 3D) x (3D, D) matmul instead of
     T small ones (per-frame matmul latency dominated the round-2 kernel:
     merging frames into rows cut the per-cell op count ~5x).
 
     Draws exactly ONE (rows, 3D) keep mask from the TPU PRNG stream when
-    dropout is active — forward and backward must call in the same order."""
+    dropout is active — forward and backward must call in the same order.
+
+    ``skip_out=True`` (the backward's recompute): everything up to ``yd``
+    is cheap VPU work, but the (rows, 3D) x (3D, D) output matmul is the
+    recompute's dominant MXU cost — and the backward never needs the
+    VALUES, only the ReLU sign, which it reads off the SAVED forward
+    output (mixed > 0 <=> out > 0)."""
     rows, d = ce_rows.shape
     inv3d = 1.0 / (3 * d)
     cea = ce_rows * a_rows
@@ -140,9 +146,11 @@ def _proj_fwd(ce_rows, a_rows, gamma, beta, w_ref, bias, scale_unused,
     keep = _keep_mask((rows, 3 * d), dropout_rate) \
         if dropout_rate > 0.0 else None
     yd = y * keep if keep is not None else y
-    out = jax.lax.dot_general(
-        yd.astype(ct), w_ref[...].astype(ct), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bias       # (rows, D)
+    out = None
+    if not skip_out:
+        out = jax.lax.dot_general(
+            yd.astype(ct), w_ref[...].astype(ct), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bias   # (rows, D)
     return dict(inv_std=inv_std, xhat=xhat, keep=keep, yd=yd, out=out)
 
 
@@ -221,11 +229,16 @@ def _fwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
 
 
 def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
-                gamma_ref, beta_ref, w_ref, b_ref, gmix_ref, *refs,
+                gamma_ref, beta_ref, w_ref, b_ref, gmix_ref, mix_ref, *refs,
                 scale, dropout_rate, compute_dtype, raw_mode):
-    """Backward cell: recompute the forward from inputs (nothing saved but
-    the kernel inputs), replay the dropout stream, and accumulate all eight
-    gradients.  Accumulation layout:
+    """Backward cell: recompute the forward from the kernel inputs (flash
+    style) — EXCEPT the projection's output matmul, whose only backward
+    role is the ReLU sign, read off the SAVED forward output ``mix_ref``
+    (mixed > 0 <=> out > 0; exact zeros mask identically) — replay the
+    dropout stream, and accumulate all eight gradients.  Skipping that
+    (T*M, 3D) x (3D, D) recompute removes ~30% of the backward's MXU
+    FLOPs for one extra read of an output that already exists in HBM.
+    Accumulation layout:
       gcn/gce (1, A, Lqa, D): revisited across frame blocks j (init at j==0)
       gqn/gqe (1, T, Lr, D):  one visit per (i, j)            (written fresh)
       ggamma/gbeta (1, 3D), gw (3D, D), gb (1, D): revisited across the
@@ -284,13 +297,17 @@ def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
     a_rows = _stack_rows([f["a"] for f in frames])       # (T*M, D)
     ce_rows = _stack_rows([ce] * t_frames)
     pf = _proj_fwd(ce_rows, a_rows, gamma, beta, w_ref, bias, scale,
-                   dropout_rate, ct)
+                   dropout_rate, ct, skip_out=True)
 
-    # merged projection backward (one matmul pair for the whole block)
+    # merged projection backward (one matmul pair for the whole block);
+    # relu sign comes from the saved forward output, not a recompute
     g_mixed_rows = _stack_rows(
         [gmix_ref[0, :, t].reshape(m, d).astype(jnp.float32)
          for t in range(t_frames)])                      # (T*M, D)
-    g_out = g_mixed_rows * (pf["out"] > 0.0).astype(jnp.float32)   # relu
+    relu_on = _stack_rows(
+        [(mix_ref[0, :, t].reshape(m, d) > 0).astype(jnp.float32)
+         for t in range(t_frames)])
+    g_out = g_mixed_rows * relu_on                                 # relu
     gb_acc = gb_acc + jnp.sum(g_out, axis=0, keepdims=True)
     gw_acc = jax.lax.dot_general(
         pf["yd"].astype(ct), g_out.astype(ct), (((0,), (0,)), ((), ())),
@@ -444,13 +461,14 @@ def _pallas_forward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
 
 
 def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
-                     g_mixed, g_raw, scale, dropout_rate, seed,
+                     g_mixed, g_raw, mixed, scale, dropout_rate, seed,
                      interpret=False, compute_dtype=jnp.bfloat16,
                      raw_mode="full", targets=None):
     """Launch the backward kernel; returns gradients for
     (cn, ce, qn, qe, gamma, beta, w, b).  ``g_raw`` matches the forward's
     ``raw_mode``: full (B, A, Li, Lqa, Lr) / target-answer
-    (B, Li, Lqa, Lr) / ignored ("none")."""
+    (B, Li, Lqa, Lr) / ignored ("none").  ``mixed`` is the SAVED forward
+    output (relu-sign source — skips the output-matmul recompute)."""
     bsz, num_a, lqa, d = cn.shape
     _, li, lr, _ = qn.shape
     t = _frames_per_cell(li, num_a * lqa, lr, d)
@@ -459,9 +477,10 @@ def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
                                dropout_rate=dropout_rate,
                                compute_dtype=compute_dtype,
                                raw_mode=raw_mode)
-    g_specs = [pl.BlockSpec((1, num_a, t, lqa, d),
-                            lambda i, j, s: (i, 0, j, 0, 0))]
-    g_operands = [g_mixed]
+    mix_spec = pl.BlockSpec((1, num_a, t, lqa, d),
+                            lambda i, j, s: (i, 0, j, 0, 0))
+    g_specs = [mix_spec, mix_spec]
+    g_operands = [g_mixed, mixed]
     if raw_mode == "full":
         g_specs.append(pl.BlockSpec((1, num_a, t, lqa, lr),
                                     lambda i, j, s: (i, 0, j, 0, 0)))
@@ -559,8 +578,12 @@ def _fused_fwd(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed,
     out = fused_qa_ctx_attention(cn, ce, qn, qe, c_mask, q_mask, gamma,
                                  beta, w, b, seed, targets, scale,
                                  compute_dtype, dropout_rate, raw_mode)
+    mixed = out[0] if raw_mode != "none" else out
+    # `mixed` already lives in HBM for the consumer; saving it costs only
+    # lifetime, and lets the backward skip the output-matmul recompute
+    # (relu sign: mixed > 0 <=> out > 0)
     return out, (cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed,
-                 targets)
+                 targets, mixed)
 
 
 def _fused_bwd(scale, compute_dtype, dropout_rate, raw_mode, residuals, g):
@@ -570,11 +593,11 @@ def _fused_bwd(scale, compute_dtype, dropout_rate, raw_mode, residuals, g):
             "in-kernel dropout backward needs the TPU PRNG; non-TPU "
             "callers must use the pure-JAX path when dropout is active")
     (cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b, seed,
-     targets) = residuals
+     targets, mixed) = residuals
     g_mixed, g_raw = g if raw_mode != "none" else (g, None)
     gcn, gce, gqn, gqe, ggamma, gbeta, gw, gb = _pallas_backward(
         cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
-        g_mixed, g_raw, scale, dropout_rate, seed,
+        g_mixed, g_raw, mixed, scale, dropout_rate, seed,
         interpret=not on_tpu, compute_dtype=compute_dtype,
         raw_mode=raw_mode, targets=targets)
     # cotangents MUST ride the primal dtypes: the kernel accumulates in f32,
