@@ -79,8 +79,12 @@ def fused_kernel_flops(cfg, li, lr_sub, lr_vid):
     def stream(lr):
         attn = 2 * (2 * rows * d * lr)        # s + a matmuls
         fwd = attn + proj
-        bwd = fwd + 2 * proj + attn           # recompute + gw/g_yd + 4 attn
-        return fwd + bwd, fwd                 # (executed, recomputed-fwd)
+        # backward: recomputes the ATTENTION part only (the projection's
+        # output matmul is skipped — relu sign read off the saved mixed,
+        # pallas_attention.py), then gw/g_yd (2 proj-sized) and the 4
+        # attention-backward matmuls (g_p/gqe/gcn/gqn, each s-sized)
+        bwd = attn + 2 * proj + 2 * attn
+        return fwd + bwd, attn                # (executed, recomputed-fwd)
 
     tri_fwd = proj
     tri_bwd = tri_fwd + 2 * proj
