@@ -308,28 +308,33 @@ def test_att_loss_entries_path_matches_dense():
     for i in range(b):
         (batch["att_entry_idx"][i], batch["att_entry_valid"][i],
          batch["att_neg_rows"][i], batch["att_entry_rank"][i],
-         batch["att_group_npos"][i]) = att_entries_from_dense(
+         batch["att_group_npos"][i],
+         batch["att_n_pos"][i]) = att_entries_from_dense(
             labels[i], defined[i], cap)
-        batch["att_n_pos"][i] = ((labels[i] > 0) & (defined[i] > 0)).sum()
 
+    # ex_mask is authoritative even when entry arrays are populated
+    # (callers may zero it post-collate) — both paths must honor it
     for hard in (False, True):
-        def loss_dense(s):
-            l, _ = losses.att_loss(
-                s, jnp.array(labels), jnp.array(defined), jnp.array(targets),
-                jnp.ones(b, np.float32), jax.random.PRNGKey(3),
-                use_hard_negatives=hard, entry_cap=cap)
-            return l
+        for ex_mask in (np.ones(b, np.float32),
+                        np.array([1.0, 0.0], np.float32)):
+            def loss_dense(s):
+                l, _ = losses.att_loss(
+                    s, jnp.array(labels), jnp.array(defined),
+                    jnp.array(targets),
+                    jnp.array(ex_mask), jax.random.PRNGKey(3),
+                    use_hard_negatives=hard, entry_cap=cap)
+                return l
 
-        def loss_entries(s):
-            l, _ = losses.att_loss(
-                s, None, None, jnp.array(targets),
-                jnp.ones(b, np.float32), jax.random.PRNGKey(3),
-                use_hard_negatives=hard, entry_cap=cap,
-                entries={k: jnp.array(v) for k, v in batch.items()})
-            return l
+            def loss_entries(s):
+                l, _ = losses.att_loss(
+                    s, None, None, jnp.array(targets),
+                    jnp.array(ex_mask), jax.random.PRNGKey(3),
+                    use_hard_negatives=hard, entry_cap=cap,
+                    entries={k: jnp.array(v) for k, v in batch.items()})
+                return l
 
-        ld, gd = jax.value_and_grad(loss_dense)(jnp.array(scores))
-        le, ge = jax.value_and_grad(loss_entries)(jnp.array(scores))
-        np.testing.assert_allclose(float(ld), float(le), rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(gd), np.asarray(ge),
-                                   rtol=1e-6, atol=1e-7)
+            ld, gd = jax.value_and_grad(loss_dense)(jnp.array(scores))
+            le, ge = jax.value_and_grad(loss_entries)(jnp.array(scores))
+            np.testing.assert_allclose(float(ld), float(le), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(gd), np.asarray(ge),
+                                       rtol=1e-6, atol=1e-7)

@@ -39,6 +39,8 @@ from typing import List
 
 import numpy as np
 
+from tvqaplus_tpu.data.labels import att_entries_from_dense
+
 
 # supervised-attention batch keys (excluded from inference pipelines)
 ATT_KEYS = ("att_labels", "att_defined", "att_entry_idx", "att_entry_valid",
@@ -194,14 +196,12 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
             dd = np.zeros_like(dl)
             dl[:li, :lw, :lr] = labels[:li, :lw, :lr]
             dd[:li, :lw, :lr] = defined[:li, :lw, :lr]
-            from tvqaplus_tpu.data.labels import att_entries_from_dense
+            # n_pos = positives BEFORE the cap: the pipeline asserts on it
+            # so an att_entry_cap overflow is loud
             (out["att_entry_idx"][b], out["att_entry_valid"][b],
              out["att_neg_rows"][b], out["att_entry_rank"][b],
-             out["att_group_npos"][b]) = att_entries_from_dense(
+             out["att_group_npos"][b], n_pos) = att_entries_from_dense(
                 dl, dd, s.att_entry_cap)
-            # positive-cell count: the loss sees at most att_entry_cap
-            # entries; the pipeline asserts on this so an overflow is loud
-            n_pos = int(np.count_nonzero((dl > 0) & (dd > 0)))
             out["att_n_pos"][b] = n_pos
         # --- metadata --------------------------------------------------------
         meta["qid"].append(ex.get("qid", b))

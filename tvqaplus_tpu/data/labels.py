@@ -134,7 +134,7 @@ def att_entries_from_dense(labels, defined, entry_cap):
     (B, Li*Lw*Lr)-wide ``top_k`` + mask algebra on device every step
     (profiled 0.38 ms + 25 MB/batch of dense label upload).
 
-    Returns (entry_idx, entry_valid, neg_rows, rank, group_npos):
+    Returns (entry_idx, entry_valid, neg_rows, rank, group_npos, n_pos):
       entry_idx   (E,) int32  flat (img, word, region) indices of the first
                               E positives, ascending (the device top_k's
                               stable order);
@@ -143,13 +143,16 @@ def att_entries_from_dense(labels, defined, entry_cap):
                               (defined & label == 0, stage.py:652-665);
       rank        (E,) int32  the entry's rank among its group's positives
                               in increasing region order (stage.py:654);
-      group_npos  (E,) int32  positives in the entry's group.
+      group_npos  (E,) int32  positives in the entry's group;
+      n_pos       int         TOTAL positives before the cap (overflow
+                              guard input, data/pipeline.py).
     """
     li, lw, lr = labels.shape
     pos = (labels > 0) & (defined > 0)
     neg = ((labels == 0) & (defined > 0)).reshape(li * lw, lr)
     pos2 = pos.reshape(li * lw, lr)
-    flat = np.nonzero(pos.reshape(-1))[0][:entry_cap]
+    flat_all = np.nonzero(pos.reshape(-1))[0]
+    flat = flat_all[:entry_cap]
     e = entry_cap
     entry_idx = np.zeros(e, np.int32)
     entry_valid = np.zeros(e, np.float32)
@@ -166,7 +169,7 @@ def att_entries_from_dense(labels, defined, entry_cap):
         cums = np.cumsum(pos2[iw], axis=1)
         rank[:n] = cums[np.arange(n), r] - 1
         group_npos[:n] = pos2[iw].sum(axis=1)
-    return entry_idx, entry_valid, neg_rows, rank, group_npos
+    return entry_idx, entry_valid, neg_rows, rank, group_npos, len(flat_all)
 
 
 def line_to_words(line, eos=True, downcase=True):

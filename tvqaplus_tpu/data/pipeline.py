@@ -53,7 +53,10 @@ class DataPipeline:
         # every shorter member pays the padding — and frequent bucket
         # switches flush the same-bucket dispatch stacks (`group`).
         # Shuffle-off iteration keeps dataset order exactly (parity paths).
-        self.bucket_batching = bucket_batching
+        # drop_last would discard up to (n_buckets * (batch_size-1))
+        # examples under per-bucket buffering — callers asking for
+        # drop_last get raw-order batching instead.
+        self.bucket_batching = bucket_batching and not drop_last
         # under the bf16 compute policy, quantize the big feature uploads on
         # host: halves host->device bandwidth, numerically identical to the
         # on-device bf16 cast the matmuls apply anyway
@@ -64,13 +67,21 @@ class DataPipeline:
         self._epoch = 0
 
     def __len__(self):
-        """Number of OPTIMIZER-STEP batches per epoch (the reference's
+        """UPPER BOUND on optimizer-step batches per epoch (the reference's
         ``len(loader)``, main.py:22).  With ``group > 1`` iteration yields
         fewer *dispatches* (each carrying up to ``group`` stacked batches);
         callers that count progress must count batches, not dispatches
-        (train/loop.py sums the K of each dispatch)."""
+        (train/loop.py sums the K of each dispatch).  Bucket batching can
+        end the epoch with one partial batch PER bucket instead of one
+        total — the bound adds those, so niter = epoch*len + batch_idx
+        (train/loop.py) stays monotonic across epochs."""
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if self.drop_last:
+            return n // self.batch_size
+        base = -(-n // self.batch_size)
+        if self.shuffle and self.bucket_batching:
+            base += max(0, len(self.buckets) - 1)
+        return base
 
     def _batches(self):
         n = len(self.dataset)

@@ -120,7 +120,11 @@ def att_loss(scores, att_labels, att_defined, targets, ex_mask, rng,
         # (labels.att_entries_from_dense) — no dense label upload, no
         # (B, Li*Lw*Lr)-wide device top_k
         entry_idx = entries["att_entry_idx"][:, :entry_cap]
-        entry_valid = entries["att_entry_valid"][:, :entry_cap]
+        # collate zeroes entries for pad slots, but ex_mask is the batch's
+        # authoritative validity (callers may zero it post-collate) — apply
+        # it like the dense path does
+        entry_valid = entries["att_entry_valid"][:, :entry_cap] \
+            * ex_mask[:, None]
         neg_rows = entries["att_neg_rows"][:, :entry_cap]
         rank = entries["att_entry_rank"][:, :entry_cap]
         n_pos_group = entries["att_group_npos"][:, :entry_cap]

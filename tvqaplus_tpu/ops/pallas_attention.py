@@ -74,7 +74,8 @@ def _frames_per_cell(li, m, lr, d, budget_bytes=12 * 1024 * 1024):
     def footprint(t):
         rows = t * m
         return 4 * (5 * rows * 3 * d      # (T*M, 3D) f32 chain
-                    + 4 * rows * d        # (T*M, D) rows/grads
+                    + 6 * rows * d        # (T*M, D) rows/grads + the saved
+                    #                       mixed block + relu_on mask
                     + 5 * rows * lr       # per-frame softmax state
                     + 2 * t * lr * d)     # qn/qe blocks
     for t in range(min(10, li), 0, -1):

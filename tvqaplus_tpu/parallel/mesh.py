@@ -35,9 +35,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # batch keys that carry the sampled-image axis Li at dim 1
 # (sub_tokens is NOT here: its dim 1 is the unique-token axis St, sharded
-# over data only; the window gather redistributes onto the ctx-sharded Li)
+# over data only; the window gather redistributes onto the ctx-sharded Li.
+# The att_entry_* keys carry flat entry axes, not Li — generic "data" rule)
 _LI_KEYS = ("sub_bert", "sub_win_idx", "sub_mask", "vid", "vid_mask",
-            "ts_mask", "att_labels", "att_defined")
+            "ts_mask")
 
 
 def make_mesh(mesh_shape=(-1, 1), devices=None):

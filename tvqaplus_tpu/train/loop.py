@@ -338,16 +338,8 @@ class Trainer:
                     # anywhere in the window surfaces here at zero extra
                     # sync cost.  Snapshot the diverged state for post-mortem
                     # and halt instead of training on garbage.
-                    if getattr(cfg, "halt_on_nonfinite", True) and \
-                            not np.isfinite(sum(window["loss"])):
-                        crash = os.path.join(cfg.results_dir,
-                                             "crash_state.ckpt")
-                        self.save(crash, epoch=epoch)
-                        raise FloatingPointError(
-                            f"non-finite training loss in batches "
-                            f"[{max(0, log_point - cfg.log_freq)}, "
-                            f"{log_point}) of epoch {epoch}; diverged "
-                            f"state saved to {crash}")
+                    self._halt_if_nonfinite(window["loss"], epoch,
+                                            f"batches [{max(0, log_point - cfg.log_freq)}, {log_point})")
                     n = max(float(window["n"]), 1)
                     self.logger.add_scalar("Train/Acc",
                                            window["n_correct"] / n, niter)
@@ -394,8 +386,26 @@ class Trainer:
 
         if profiling:
             jax.profiler.stop_trace()
+        # tail window: losses accumulated after the last log crossing (and
+        # whole epochs shorter than log_freq) still get the non-finite check
+        if window["loss"]:
+            tail = [float(x) for x in jax.device_get(window["loss"])]
+            self._halt_if_nonfinite(tail, epoch, "the epoch's tail window")
         self.logger.append_log("valid_acc.log", valid_acc_log)
         return self.best_acc
+
+    def _halt_if_nonfinite(self, losses_list, epoch, where):
+        """Failure detection: NaN/inf training loss -> snapshot the diverged
+        state for post-mortem and halt instead of training on garbage."""
+        if not getattr(self.cfg, "halt_on_nonfinite", True):
+            return
+        if np.isfinite(sum(float(x) for x in losses_list)):
+            return
+        crash = os.path.join(self.cfg.results_dir, "crash_state.ckpt")
+        self.save(crash, epoch=epoch)
+        raise FloatingPointError(
+            f"non-finite training loss in {where} of epoch {epoch}; "
+            f"diverged state saved to {crash}")
 
     def fit(self, train_dataset, valid_dataset):
         """Full training run with plateau LR + early stop
