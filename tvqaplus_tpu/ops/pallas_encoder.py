@@ -28,6 +28,7 @@ Falls back to the unfused module path for non-default configs
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,12 +52,15 @@ def _seqs_per_cell(g, l, d, k, budget_bytes=13 * 1024 * 1024):
     conv tap (each roll materialized a live rotated copy); k=5 fit 1000
     rows, k=7 OOMed at 1250 (measured).  The conv stages now use a RUNNING
     roll (one rotated copy live at a time, `_dwconv_*`), which should cut
-    the per-tap term to ~O(1) — the formula deliberately keeps the old
-    conservative accounting until re-calibrated on hardware; shrink the
-    2*k term after measuring (larger cells = fewer launches, bigger
-    matmuls — the lever that previously made k=7 lose to XLA)."""
+    the per-tap term to ~O(1) — the formula keeps the old conservative
+    accounting by default; recalibrate ON HARDWARE by lowering
+    TVQA_ENC_TAP_COST (e.g. 0.5) and re-running scripts/check_pallas_tpu.py
+    + the bench (larger cells = fewer launches, bigger matmuls — the lever
+    that previously made k=7 lose to XLA)."""
+    tap_cost = float(os.environ.get("TVQA_ENC_TAP_COST", "2"))
+
     def footprint(t):
-        return 4 * (15 + 2 * k) * t * l * d
+        return 4 * (15 + tap_cost * k) * t * l * d
     best = 1
     for t in range(1, min(64, g) + 1):
         if g % t == 0 and footprint(t) <= budget_bytes:
