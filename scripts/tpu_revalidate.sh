@@ -29,3 +29,7 @@ echo "=== 6. full-dims dress rehearsal on the chip"
 python scripts/ref_eval_e2e.py --full --root results/ref_eval_full_tpu
 
 echo "ALL REVALIDATION STEPS PASSED — update docs/BENCH.md with the numbers"
+echo
+echo "Recalibration knobs to sweep next (rerun steps 1+3 per setting):"
+echo "  TVQA_ENC_TAP_COST=0.5    # running-roll conv: bigger encoder cells"
+echo "  TVQA_ATTN_VMEM_BUDGET_MB=14  # attention kernel: larger frame blocks"

@@ -36,6 +36,7 @@ exact); ``reference_impl`` exists only as the oracle for parity tests.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +61,7 @@ def _keep_mask(shape, dropout_rate):
     return (u >= dropout_rate).astype(jnp.float32) * (1.0 / (1.0 - dropout_rate))
 
 
-def _frames_per_cell(li, m, lr, d, budget_bytes=12 * 1024 * 1024):
+def _frames_per_cell(li, m, lr, d, budget_bytes=None):
     """Frame-block size T: each grid cell processes T consecutive frames,
     amortizing per-cell launch latency AND merging T*M rows into single
     MXU matmuls for the row-local projection chain.
@@ -70,7 +71,14 @@ def _frames_per_cell(li, m, lr, d, budget_bytes=12 * 1024 * 1024):
     per-frame softmax state.  Mosaic hard-fails past the 16 MB scoped-vmem
     limit, so T is the largest divisor of Li <= 10 whose estimated backward
     footprint fits the budget.  Forward and backward MUST use the same T —
-    the dropout PRNG draw shape depends on it (stream replay)."""
+    the dropout PRNG draw shape depends on it (stream replay).
+
+    ``TVQA_ATTN_VMEM_BUDGET_MB`` overrides the 12 MB default for on-hardware
+    recalibration (pair with scripts/check_pallas_tpu.py + the bench)."""
+    if budget_bytes is None:
+        budget_bytes = int(float(os.environ.get(
+            "TVQA_ATTN_VMEM_BUDGET_MB", "12")) * 1024 * 1024)
+
     def footprint(t):
         rows = t * m
         return 4 * (5 * rows * 3 * d      # (T*M, 3D) f32 chain
