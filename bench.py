@@ -193,10 +193,30 @@ def detail_line(r, k, compute_dtype, use_pallas, baseline):
     return d
 
 
+def _backend_watchdog(timeout_s=600):
+    """The axon device claim can hang INDEFINITELY if the tunnel is wedged
+    (a TPU-claiming process killed mid-claim wedges the terminal-side
+    session lock — observed round 3).  Probe the backend on a daemon
+    thread and convert a hang into a bounded, honest failure instead of
+    blocking the driver forever."""
+    import threading
+    ok = []
+    t = threading.Thread(target=lambda: ok.append(len(jax.devices())),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(f"bench: jax backend did not come up within {timeout_s}s "
+              f"(axon tunnel wedged?) — no measurement possible",
+              file=sys.stderr)
+        os._exit(3)
+
+
 def main():
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     k = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "10"))
+    _backend_watchdog()
 
     res = run_bench(50, k, compute_dtype, use_pallas)
     baseline = load_torch_baseline()
