@@ -145,8 +145,13 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
     s = spec
     assert len(examples) <= s.batch, f"{len(examples)} > batch {s.batch}"
     out = zeros_batch(s)
+    # meta carries HOST-side copies of everything the serving/validation
+    # loops read back per batch (target/anno_st/QA word ids): each
+    # device_get is a tunnel round trip on the axon host — the values are
+    # host-known at collate, so the loops never fetch them from the device
     meta = {"qid": [], "vid_name": [], "image_indices": [], "boxes": [],
-            "ts": [], "att_n_pos": [], "sub_tok_overflow": []}
+            "ts": [], "att_n_pos": [], "sub_tok_overflow": [],
+            "target": [], "anno_st": [], "qas_words": []}
 
     from tvqaplus_tpu import native
 
@@ -211,6 +216,9 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
         meta["ts"].append(ex.get("ts"))
         meta["att_n_pos"].append(n_pos)
         meta["sub_tok_overflow"].append(n_over)
+        meta["target"].append(int(out["target"][b]))
+        meta["anno_st"].append(int(out["anno_st"][b]))
+        meta["qas_words"].append(out["qas"][b].copy())
 
     return out, meta
 

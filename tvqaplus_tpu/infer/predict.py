@@ -171,18 +171,20 @@ class InferenceRunner:
         # old per-batch multiple-of-4 bucketing could hit ~Li/4 variants)
         f_cache = {}
 
-        def collate_one(out, ex_mask, words, anno_st, meta, li):
-            """Assemble one batch's predictions from fetched numpy arrays."""
-            n = int(ex_mask.sum())
+        def collate_one(out, meta, li):
+            """Assemble one batch's predictions.  Everything except the
+            model outputs comes from the HOST-side meta (batching.py) — no
+            device round trips for values the collate already knew."""
+            n = len(meta["qid"])            # real examples in this batch
             pred_ids, span_st, span_ed = (out["pred_ids"], out["span_st"],
                                           out["span_ed"])
             if "vid_raw_anno" in out and any(
                     bx is not None for bx in meta["boxes"]):
                 att = get_att_predictions(
-                    out["vid_raw_anno"][:n], words[:n],
-                    object_word_ids, meta["qid"][:n], meta["vid_name"][:n],
-                    meta["image_indices"][:n], meta["boxes"][:n],
-                    anno_st[:n], scores_local=True, li_total=li)
+                    out["vid_raw_anno"][:n], np.stack(meta["qas_words"]),
+                    object_word_ids, meta["qid"], meta["vid_name"],
+                    meta["image_indices"], meta["boxes"],
+                    meta["anno_st"], scores_local=True, li_total=li)
                 predictions["raw_bbox"].extend(att)
 
             for j in range(n):
@@ -196,28 +198,29 @@ class InferenceRunner:
                                       self.cfg.frame_interval)
                 predictions["ts_answer"][str(qid)] = [ts, a]
 
-        def collate_host(out, batch, meta, li, stacked):
+        def collate_host(out, batch_size, meta, li, stacked):
             """Host-side assembly of one dispatch's predictions (one batch,
             or K stacked same-bucket batches).  Runs while the NEXT dispatch
             executes on device (depth-1 pending queue below): jax dispatch
-            is async, so the only sync points are the fetches here."""
+            is async, so the only sync point is the model-output fetch here.
+            A partial batch can only be the LAST of a stack (shuffle-off
+            iteration; only the epoch's final batch is partial), so the
+            fixed-stride meta slicing stays aligned."""
             out = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
-            ex_mask = np.asarray(jax.device_get(batch["ex_mask"]))
-            words = np.asarray(jax.device_get(batch["qas"]))
-            anno_st = np.asarray(jax.device_get(batch["anno_st"]))
             if not stacked:
-                collate_one(out, ex_mask, words, anno_st, meta, li)
+                collate_one(out, meta, li)
                 return
-            k, b = ex_mask.shape
+            k, b = out["pred_ids"].shape[0], batch_size
             for i in range(k):
                 sub_meta = {key: v[i * b:(i + 1) * b]
                             for key, v in meta.items()}
                 collate_one({key: v[i] for key, v in out.items()},
-                            ex_mask[i], words[i], anno_st[i], sub_meta, li)
+                            sub_meta, li)
 
         pending = None   # one in-flight dispatch
         for batch_idx, (batch, meta, _) in enumerate(pipeline):
             stacked = batch["ex_mask"].ndim == 2   # (K, B): grouped dispatch
+            bsz = batch["ex_mask"].shape[-1]
             li = batch["ts_mask"].shape[-1]    # this bucket's frame axis
             f_need = max((len(bx) for bx in meta["boxes"] if bx),
                          default=0)
@@ -231,7 +234,7 @@ class InferenceRunner:
                        f_max=f_max)
             if pending is not None:
                 collate_host(*pending)
-            pending = (out, batch, meta, li, stacked)
+            pending = (out, bsz, meta, li, stacked)
             if debug:
                 break
         if pending is not None:

@@ -246,27 +246,23 @@ class Trainer:
             stacked = batch["ex_mask"].ndim == 2
             metrics, preds = (self._eval_scan if stacked
                               else self._eval_step)(self.state, batch)
-            preds = np.asarray(jax.device_get(preds)).reshape(-1)
-            targets = np.asarray(jax.device_get(batch["target"])).reshape(-1)
-            ex_mask = np.asarray(jax.device_get(batch["ex_mask"]))
+            # targets / example counts come from the HOST-side meta
+            # (batching.py) — the only device fetches are model outputs
+            preds = np.asarray(jax.device_get(preds))
             totals["n_correct"] += float(np.sum(
-                np.asarray(metrics["n_correct"])))
-            totals["loss"] += float(np.sum(np.asarray(metrics["loss"])))
-            if stacked:
-                k, b = ex_mask.shape
-                for s in range(k):
-                    n = int(ex_mask[s].sum())
-                    totals["n"] += n
-                    for j in range(n):
-                        qid_corrects.append("%d\t%d" % (
-                            meta["qid"][s * b + j],
-                            int(preds[s * b + j] == targets[s * b + j])))
-            else:
-                n = int(ex_mask.sum())
-                totals["n"] += n
-                for j in range(n):
-                    qid_corrects.append("%d\t%d" % (
-                        meta["qid"][j], int(preds[j] == targets[j])))
+                np.asarray(jax.device_get(metrics["n_correct"]))))
+            totals["loss"] += float(np.sum(
+                np.asarray(jax.device_get(metrics["loss"]))))
+            n = len(meta["qid"])          # real examples in the dispatch
+            totals["n"] += n
+            b = batch["ex_mask"].shape[-1]
+            for j in range(n):
+                # under stacked dispatch preds is (K, B); meta index j maps
+                # to stack row j // b, slot j % b (partial batches can only
+                # be the stack's LAST member — shuffle-off iteration)
+                p = preds[j // b, j % b] if stacked else preds[j]
+                qid_corrects.append("%d\t%d" % (
+                    meta["qid"][j], int(p == meta["target"][j])))
             if max_batches is not None and i + 1 >= max_batches:
                 break
             if self.cfg.debug and i == 20:
