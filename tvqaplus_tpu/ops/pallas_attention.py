@@ -313,9 +313,11 @@ def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
     g_mixed_rows = _stack_rows(
         [gmix_ref[0, :, t].reshape(m, d).astype(jnp.float32)
          for t in range(t_frames)])                      # (T*M, D)
+    # compare in f32: Mosaic rejects vector cmpf on bf16 operands on this
+    # target, and the bf16->f32 cast is exact so the sign mask is identical
     relu_on = _stack_rows(
-        [(mix_ref[0, :, t].reshape(m, d) > 0).astype(jnp.float32)
-         for t in range(t_frames)])
+        [(mix_ref[0, :, t].reshape(m, d).astype(jnp.float32) > 0)
+         .astype(jnp.float32) for t in range(t_frames)])
     g_out = g_mixed_rows * relu_on                                 # relu
     gb_acc = gb_acc + jnp.sum(g_out, axis=0, keepdims=True)
     gw_acc = jax.lax.dot_general(
