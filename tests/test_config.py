@@ -93,6 +93,56 @@ class TestCli:
         assert cfg.mesh_shape == [2, 4]
 
 
+class TestAutoTpuPolicy:
+    """VERDICT r3 item 2: the benchmarked configuration (fused Pallas +
+    bfloat16) must be the shipped default on TPU; CPU keeps f32/XLA for
+    parity tests.  finalize() resolves `use_pallas=None` /
+    `compute_dtype="auto"` from the live jax backend."""
+
+    def test_auto_resolves_cpu(self, tmp_path):
+        # the test suite runs on the forced-CPU backend (conftest)
+        cfg = Config(results_dir_base=str(tmp_path / "r"))
+        assert cfg.use_pallas is None and cfg.compute_dtype == "auto"
+        cfg.finalize(save=False)
+        assert cfg.use_pallas is False
+        assert cfg.compute_dtype == "float32"
+
+    def test_auto_resolves_tpu(self, tmp_path, monkeypatch):
+        import tvqaplus_tpu.config as config_mod
+        monkeypatch.setattr(config_mod, "backend_is_tpu", lambda: True)
+        cfg = Config(results_dir_base=str(tmp_path / "r"))
+        cfg.finalize(save=False)
+        assert cfg.use_pallas is True
+        assert cfg.compute_dtype == "bfloat16"
+
+    def test_explicit_optout_wins(self, tmp_path, monkeypatch):
+        import tvqaplus_tpu.config as config_mod
+        monkeypatch.setattr(config_mod, "backend_is_tpu", lambda: True)
+        cfg = Config(use_pallas=False, compute_dtype="float32",
+                     results_dir_base=str(tmp_path / "r"))
+        cfg.finalize(save=False)
+        assert cfg.use_pallas is False and cfg.compute_dtype == "float32"
+
+    def test_cli_tristate_use_pallas(self, tmp_path):
+        base = ["--results_dir_base", str(tmp_path / "r")]
+        cfg, _ = parse_args(["--use_pallas"] + base, save=False)
+        assert cfg.use_pallas is True  # bare flag forces on, even on CPU
+        cfg, _ = parse_args(["--use_pallas", "false"] + base, save=False)
+        assert cfg.use_pallas is False
+        cfg, _ = parse_args(base, save=False)  # unset -> auto (CPU here)
+        assert cfg.use_pallas is False
+
+    def test_resolved_values_persist(self, tmp_path):
+        """opt.json must store the RESOLVED policy so inference's
+        override_from replays the training configuration verbatim."""
+        cfg = Config(results_dir_base=str(tmp_path / "r"))
+        cfg.finalize(save=True)
+        with open(os.path.join(cfg.results_dir, "opt.json")) as f:
+            saved = json.load(f)
+        assert saved["use_pallas"] in (True, False)
+        assert saved["compute_dtype"] in ("float32", "bfloat16")
+
+
 class TestOverrideFrom:
     def test_test_options_semantics(self, tmp_path):
         """Every field from the saved run overrides, except `debug`

@@ -33,6 +33,32 @@ from tvqaplus_tpu.utils.io import load_json, make_zipfile, mkdirp, save_json_pre
 
 _BOOL_FIELDS = set()
 
+# Fields whose CLI value is tri-state: unset -> auto-resolve at finalize().
+# `--use_pallas` alone means True; `--use_pallas false` opts out.
+_TRISTATE_BOOL_FIELDS = {"use_pallas"}
+
+
+def backend_is_tpu():
+    """True iff jax's default backend drives a TPU chip (including the axon
+    plugin, whose platform name is not "tpu" — sniff the device kind too)."""
+    try:
+        import jax
+        dev = jax.devices()[0]
+        kind = (getattr(dev, "device_kind", "") or "").lower()
+        return "tpu" in (dev.platform or "").lower() or "tpu" in kind
+    except Exception:
+        return False
+
+
+def _str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("1", "true", "yes", "on"):
+        return True
+    if v.lower() in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
 
 @dataclass
 class Config:
@@ -146,9 +172,14 @@ class Config:
     max_sub_tokens: int = 512           # St cap (unique tokens per example)
     max_num_proposal: int = 1           # P = max_num_proposal + 1 slots
     att_entry_cap: int = 128            # max positive att entries per example
-    compute_dtype: str = "float32"      # {"float32", "bfloat16"}
+    # dtype / kernel policy.  "auto" (the default) resolves at finalize():
+    # bfloat16 + fused Pallas kernels when the jax backend drives a TPU,
+    # float32 + pure XLA otherwise (CPU parity tests, interpret mode).  The
+    # benchmarked configuration IS the shipped default on the chip; pass
+    # --compute_dtype float32 / --use_pallas false to opt out.
+    compute_dtype: str = "auto"         # {"auto", "float32", "bfloat16"}
     mesh_shape: List[int] = field(default_factory=lambda: [-1, 1])  # (data, ctx[, model])
-    use_pallas: bool = False            # fused Pallas kernels for the hot ops
+    use_pallas: Optional[bool] = None   # fused Pallas kernels; None = auto
     py2_offset_div: bool = False        # replicate python2 integer-div offset
     synthetic_data: bool = False        # run on synthetic data (no artifacts)
     synthetic_n_train: int = 256
@@ -194,6 +225,13 @@ class Config:
                 "_%Y_%m_%d_%H_%M_%S")
         self.bsz = self.bsz * n_data_shards
         self.test_bsz = self.test_bsz * n_data_shards
+        if self.use_pallas is None or self.compute_dtype == "auto":
+            on_tpu = backend_is_tpu()
+            if self.use_pallas is None:
+                self.use_pallas = on_tpu
+            if self.compute_dtype == "auto":
+                self.compute_dtype = "bfloat16" if on_tpu else "float32"
+        assert self.compute_dtype in ("float32", "bfloat16")
         self.h5driver = None if self.no_core_driver else "core"
         self.vfeat_flag = "vfeat" in self.input_streams
         self.vcpt_flag = "vcpt" in self.input_streams
@@ -248,7 +286,13 @@ class Config:
 
 def _add_field_arg(parser, f):
     name = "--" + f.name
-    if f.type in ("bool", bool) or isinstance(f.default, bool):
+    if f.name in _TRISTATE_BOOL_FIELDS:
+        # unset -> None (auto-resolve at finalize); bare `--flag` -> True;
+        # `--flag false` -> explicit opt-out
+        parser.add_argument(name, nargs="?", const=True, type=_str2bool,
+                            default=None)
+        _BOOL_FIELDS.add(f.name)
+    elif f.type in ("bool", bool) or isinstance(f.default, bool):
         parser.add_argument(name, action="store_true", default=None)
         _BOOL_FIELDS.add(f.name)
     elif f.default_factory is not dataclasses.MISSING:  # type: ignore
