@@ -48,6 +48,12 @@ class SyntheticTVQADataset:
         self.mode = mode
         self.inference = mode == "test"
 
+    def max_annotated_frames(self):
+        """Serving sizes its grounding-window gather from this (see
+        TVQAPlusDataset.max_annotated_frames); synthetic examples annotate
+        every sampled frame from index 0."""
+        return self.max_img
+
     def __getitem__(self, index):
         cfg = self.cfg
         rng = np.random.default_rng(

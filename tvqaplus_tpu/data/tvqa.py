@@ -124,6 +124,24 @@ class TVQAPlusDataset:
     def __len__(self):
         return len(self.cur_data)
 
+    def max_annotated_frames(self):
+        """Max annotated-frame count over the CURRENT split.
+
+        The serving loop sizes its device-side grounding-window gather
+        (``f_max``) from this, so every Li bucket compiles exactly ONE
+        ``infer_step`` variant — each compile is ~60 s through the axon
+        remote-compile tunnel.  Cheap host pass: re-derives the sampled-grid
+        window bounds (``get_all_img_ids``) each entry's ``__getitem__``
+        would compute, without touching the feature HDF5s."""
+        best = 0
+        for entry in self.cur_data:
+            located = sorted(int(e) for e in entry["bbox"].keys())
+            _, start_idx, end_idx = get_all_img_ids(
+                located[0], located[-1], self.frm_cnt_dict[entry["vid_name"]],
+                frame_interval=self.cfg.frame_interval)
+            best = max(best, end_idx - start_idx + 1)
+        return best
+
     # ------------------------------------------------------------------
     def __getitem__(self, index):
         cfg = self.cfg

@@ -164,11 +164,15 @@ class InferenceRunner:
                                 exclude_keys=ATT_KEYS)
         predictions = {"ts_answer": {}, "raw_bbox": []}
         with_grounding = bool(object_word_ids) and self.cfg.vfeat_flag
-        # annotated-window size for the device-side grounding gather:
-        # monotone non-decreasing with doubling growth per Li bucket, so
-        # the number of infer_step jit variants is O(log Li) per bucket
-        # (each compile is ~60 s through the remote-compile tunnel; the
-        # old per-batch multiple-of-4 bucketing could hit ~Li/4 variants)
+        # annotated-window size for the device-side grounding gather.
+        # Preferred: a dataset-level precompute of the split's max annotated
+        # frame count — then every Li bucket compiles exactly ONE infer_step
+        # variant (each compile is ~60 s through the remote-compile tunnel).
+        # Fallback (datasets without the hook): monotone doubling growth,
+        # O(log Li) variants per bucket.
+        f_global = None
+        if with_grounding and hasattr(dataset, "max_annotated_frames"):
+            f_global = int(dataset.max_annotated_frames())
         f_cache = {}
 
         def collate_one(out, meta, li):
@@ -222,13 +226,16 @@ class InferenceRunner:
             stacked = batch["ex_mask"].ndim == 2   # (K, B): grouped dispatch
             bsz = batch["ex_mask"].shape[-1]
             li = batch["ts_mask"].shape[-1]    # this bucket's frame axis
-            f_need = max((len(bx) for bx in meta["boxes"] if bx),
-                         default=0)
-            f_max = f_cache.get(li, 4)
-            while f_max < f_need:
-                f_max *= 2
-            f_max = min(li, f_max)
-            f_cache[li] = f_max
+            if f_global is not None:
+                f_max = min(li, max(1, f_global))
+            else:
+                f_need = max((len(bx) for bx in meta["boxes"] if bx),
+                             default=0)
+                f_max = f_cache.get(li, 4)
+                while f_max < f_need:
+                    f_max *= 2
+                f_max = min(li, f_max)
+                f_cache[li] = f_max
             step = self._infer_scan if stacked else self._infer_step
             out = step(self.params, batch, with_grounding=with_grounding,
                        f_max=f_max)
