@@ -88,7 +88,7 @@ def ts_loss(t_scores, ts_st, ts_ed, targets, ex_mask):
 def att_loss(scores, att_labels, att_defined, targets, ex_mask, rng,
              num_negatives=2, loss_type="lse", margin=0.1, alpha=20.0,
              use_hard_negatives=False, drop_topk=0, negative_pool_size=0,
-             num_hard=2, entry_cap=64, entries=None):
+             num_hard=2, entry_cap=128, entries=None):
     """Vectorized supervised-attention ranking loss.
 
     Args:
@@ -217,7 +217,7 @@ def att_loss(scores, att_labels, att_defined, targets, ex_mask, rng,
 def total_loss(outputs, batch, rng, *, att_weight=0.1, ts_weight=0.5,
                use_sup_att=False, use_hard_negatives=False, num_negatives=2,
                att_loss_type="lse", margin=0.1, alpha=20.0, drop_topk=0,
-               negative_pool_size=0, num_hard=2, entry_cap=64,
+               negative_pool_size=0, num_hard=2, entry_cap=128,
                vfeat_flag=True, train=True):
     """loss = cls * (N/len(targets)) + att_weight*att + ts_weight*ts
     (main.py:55-60).  Returns (loss, metrics dict)."""
