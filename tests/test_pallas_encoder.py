@@ -80,6 +80,43 @@ def test_module_fused_matches_unfused():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_reduce_mask_matches_xla_masked_max():
+    """reduce_mask mode == encoder output -> mask_logits -> max over L
+    (the classifier head's word-max, reference stage.py:500-505), forward
+    AND gradients."""
+    from tvqaplus_tpu.ops.masking import mask_logits
+
+    x, pe, p = make_inputs()
+    rng = np.random.default_rng(3)
+    mask = (rng.random((B, G, L)) > 0.3).astype(np.float32)
+    mask[..., 0] = 1.0
+    mask = jnp.array(mask)
+
+    def loss_k(x, p):
+        out = pe_mod.fused_encoder_block(
+            x, pe, p, jnp.int32(0), K, jnp.float32, 0.0, mask)
+        return out, jnp.sum(out ** 2)
+
+    def loss_r(x, p):
+        full = pe_mod.reference_impl(x, pe, p, K)
+        out = jnp.max(mask_logits(full, mask[..., None]), axis=-2)
+        return out, jnp.sum(out ** 2)
+
+    out_k = loss_k(x, p)[0]
+    out_r = loss_r(x, p)[0]
+    assert out_k.shape == (B, G, D)
+    np.testing.assert_allclose(np.array(out_k), np.array(out_r),
+                               rtol=2e-4, atol=2e-4)
+    gk = jax.grad(lambda x, p: loss_k(x, p)[1], argnums=(0, 1))(x, p)
+    gr = jax.grad(lambda x, p: loss_r(x, p)[1], argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.array(gk[0]), np.array(gr[0]),
+                               rtol=1e-3, atol=1e-3)
+    for key in p:
+        np.testing.assert_allclose(np.array(gk[1][key]),
+                                   np.array(gr[1][key]),
+                                   rtol=1e-3, atol=1e-3, err_msg=key)
+
+
 def test_grad_with_bf16_primals():
     x, pe, p = make_inputs()
     bf16 = jnp.bfloat16

@@ -207,7 +207,7 @@ class EncoderBlock(nn.Module):
             self.attn = MultiHeadedAttention(self.num_heads, self.dropout,
                                              dtype=self.dtype)
 
-    def _fused(self, x, *, train: bool):
+    def _fused(self, x, *, train: bool, reduce_mask=None):
         from tvqaplus_tpu.ops.pallas_encoder import fused_encoder_block
         l, d = x.shape[-2:]
         lead = x.shape[:-2]
@@ -228,18 +228,26 @@ class EncoderBlock(nn.Module):
         if dropout_active:
             seed = jax.random.randint(self.make_rng("dropout"), (), 0,
                                       2 ** 31 - 1, dtype=jnp.int32)
+        rm = None if reduce_mask is None else \
+            reduce_mask.reshape(lead[0], -1, l)
         out = fused_encoder_block(
             xg, pe, params, seed, self.kernel_size, self.dtype,
-            self.dropout if dropout_active else 0.0)
+            self.dropout if dropout_active else 0.0, rm)
+        if reduce_mask is not None:
+            return out.reshape(lead + (d,))
         return out.reshape(lead + (l, d))
 
-    def __call__(self, x, mask=None, *, train: bool):
+    def __call__(self, x, mask=None, *, train: bool, reduce_mask=None):
+        """``reduce_mask`` (x's leading dims + (L,)): also fold in the
+        consumer's masked word-max, returning (..., D) — in the fused
+        kernel the full (..., L, D) output never reaches HBM (reference
+        stage.py:500-505 semantics, max(mask_logits(out, m), axis=-2))."""
         dropout_active = train and self.dropout > 0.0
         if (self.use_pallas and self.num_heads == 0 and self.n_conv == 2
                 and x.ndim >= 3
                 and (not dropout_active
                      or jax.default_backend() == "tpu")):
-            return self._fused(x, train=train)
+            return self._fused(x, train=train, reduce_mask=reduce_mask)
         out = self.pos(x)
         for i in range(self.n_conv):
             residual = out
@@ -253,7 +261,10 @@ class EncoderBlock(nn.Module):
             out = self.attn_ln(out, self.dtype)
             out = self.attn(out, mask, train=train)
             out = out + residual
-        return self.final_ln(out, self.dtype)
+        out = self.final_ln(out, self.dtype)
+        if reduce_mask is not None:
+            return jnp.max(mask_logits(out, reduce_mask[..., None]), axis=-2)
+        return out
 
 
 class StackedEncoder(nn.Module):
@@ -267,12 +278,15 @@ class StackedEncoder(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, *, train: bool):
+    def __call__(self, x, mask=None, *, train: bool, reduce_mask=None):
         for i in range(self.n_blocks):
+            last = i == self.n_blocks - 1
             x = EncoderBlock(x.shape[-1], self.n_conv, self.kernel_size,
                              self.num_heads, self.dropout, self.dtype,
                              self.use_pallas,
-                             name=f"block_{i}")(x, mask, train=train)
+                             name=f"block_{i}")(
+                x, mask, train=train,
+                reduce_mask=reduce_mask if last else None)
         return x
 
 

@@ -295,8 +295,19 @@ class STAGE(nn.Module):
                 tok = self.input_embedding(tok, train=train)  # (B, St, h)
                 idx = batch["sub_win_idx"]                    # (B, Li, Ls)
                 bsz_, li_, ls_ = idx.shape
-                win = jnp.take_along_axis(
-                    tok, idx.reshape(bsz_, li_ * ls_)[..., None], axis=1)
+                if c.use_pallas:
+                    # TPU policy: the window gather as a one-hot matmul —
+                    # exact (one nonzero per row), and both it and its
+                    # transpose (the backward scatter-add, the single
+                    # largest non-kernel op at 0.33 ms/step, profiled r4)
+                    # run on the MXU instead of the row-DMA gather engine
+                    onehot = (idx.reshape(bsz_, li_ * ls_)[..., None]
+                              == jnp.arange(tok.shape[1])[None, None]
+                              ).astype(tok.dtype)
+                    win = jnp.einsum("bws,bsd->bwd", onehot, tok)
+                else:
+                    win = jnp.take_along_axis(
+                        tok, idx.reshape(bsz_, li_ * ls_)[..., None], axis=1)
                 win = win.reshape(bsz_, li_, ls_, tok.shape[-1])
                 sub_embed = self.input_encoder(win, batch["sub_mask"],
                                                train=train)
@@ -368,9 +379,12 @@ class STAGE(nn.Module):
         """
         c = self.cfg
         bsz, num_a, num_img, num_words = statement_mask.shape
-        encoded = self.cls_encoder(statement, statement_mask, train=train)
-        max_statement = jnp.max(
-            mask_logits(encoded, statement_mask[..., None]), axis=-2)
+        # encoder + masked word-max in one op (reference stage.py:500-505);
+        # the fused kernel folds the max in so the (B, A, Li, Lqa, D)
+        # encoder output never reaches HBM
+        max_statement = self.cls_encoder(statement, statement_mask,
+                                         train=train,
+                                         reduce_mask=statement_mask)
         max_statement_mask = (jnp.sum(statement_mask, -1) != 0).astype(
             jnp.float32)[..., None]                     # (B, A, Li, 1)
         x = max_statement                               # (B, A, Li, h)

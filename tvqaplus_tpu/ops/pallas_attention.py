@@ -351,9 +351,13 @@ def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
         g_p = jax.lax.dot_general(
             g_a.astype(ct), qe, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                    # (M, Lr)
+        # gqe/gqn are written fresh per cell (never accumulated), so they
+        # ride the PRIMAL dtype out of the kernel — skips XLA's f32->bf16
+        # convert pass over two (B, Li, Lr, D) tensors per stream
         gqe_ref[0, t] = jax.lax.dot_general(
             f["p"].astype(ct), g_a.astype(ct), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                    # (Lr, D)
+            preferred_element_type=jnp.float32).astype(
+                gqe_ref.dtype)                                     # (Lr, D)
         g_p0 = g_p * f["s_mask"]
         p0 = f["p0"]
         g_z = p0 * (g_p0 - jnp.sum(g_p0 * p0, axis=-1, keepdims=True))
@@ -372,7 +376,8 @@ def _bwd_kernel(seed_ref, cn_ref, ce_ref, qn_ref, qe_ref, cm_ref, qm_ref,
             preferred_element_type=jnp.float32)                    # (M, D)
         gqn_ref[0, t] = jax.lax.dot_general(
             g_s.astype(ct), cn, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                    # (Lr, D)
+            preferred_element_type=jnp.float32).astype(
+                gqn_ref.dtype)                                     # (Lr, D)
 
     gcn_ref[0] += gcn_acc.reshape(a_dim, lqa, d)
     gce_ref[0] += gce_acc.reshape(a_dim, lqa, d)
@@ -522,8 +527,8 @@ def _pallas_backward(cn, ce, qn, qe, c_mask, q_mask, gamma, beta, w, b,
         out_shape=[
             jax.ShapeDtypeStruct((bsz, num_a, lqa, d), jnp.float32),
             jax.ShapeDtypeStruct((bsz, num_a, lqa, d), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, li, lr, d), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, li, lr, d), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, li, lr, d), qn.dtype),
+            jax.ShapeDtypeStruct((bsz, li, lr, d), qe.dtype),
             jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
             jax.ShapeDtypeStruct((3 * d, d), jnp.float32),

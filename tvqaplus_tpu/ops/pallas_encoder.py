@@ -229,10 +229,22 @@ def _kernel_params(gamma_refs):
         lnf_s=lnfs[0, :], lnf_b=lnfb[0, :])
 
 
+def _masked_max(out_rows, mask3, tg, l, d):
+    """Masked max over L (the reduce_mask mode): replicates the consumer's
+    ``max(mask_logits(out, m), axis=-2)`` (stage.py classifier head) so the
+    (B, G, L, D) encoder output never exists in HBM.  Returns
+    (masked (tg, L, D), max (tg, D))."""
+    masked = out_rows.reshape(tg, l, d) * mask3 + (mask3 - 1.0) * 1e10
+    return masked, jnp.max(masked, axis=1)
+
+
 def _fwd_kernel(seed_ref, x_ref, pe_ref, *refs, k, dropout_rate,
-                compute_dtype):
+                compute_dtype, reduce=False):
     out_ref = refs[-1]
     param_refs = refs[:-1]
+    if reduce:
+        mask_ref = refs[-2]
+        param_refs = refs[:-2]
     tg, l, d = x_ref.shape[1:]
     if dropout_rate > 0.0:
         pltpu.prng_seed(
@@ -242,7 +254,12 @@ def _fwd_kernel(seed_ref, x_ref, pe_ref, *refs, k, dropout_rate,
     pe = pe_ref[...].astype(jnp.float32)                 # (L, D) broadcast
     f = _block_fwd(x3, pe, _kernel_params(param_refs), k, compute_dtype,
                    dropout_rate)
-    out_ref[0] = f["out"].astype(out_ref.dtype).reshape(tg, l, d)
+    if reduce:
+        _, mx = _masked_max(f["out"], mask_ref[0].astype(jnp.float32),
+                            tg, l, d)
+        out_ref[0] = mx.astype(out_ref.dtype).reshape(tg, 1, d)
+    else:
+        out_ref[0] = f["out"].astype(out_ref.dtype).reshape(tg, l, d)
 
 
 def _bwd_from_block(f, g2, params, k, ct):
@@ -258,11 +275,14 @@ def _bwd_from_block(f, g2, params, k, ct):
 
 
 def _bwd_kernel(seed_ref, x_ref, pe_ref, *refs, k, dropout_rate,
-                compute_dtype):
+                compute_dtype, reduce=False):
     param_refs = refs[:14]
-    g_ref = refs[14]
-    gx_ref = refs[15]
-    gparam_refs = refs[16:]
+    refs = refs[14:]
+    if reduce:
+        mask_ref, refs = refs[0], refs[1:]
+    g_ref = refs[0]
+    gx_ref = refs[1]
+    gparam_refs = refs[2:]
     tg, l, d = x_ref.shape[1:]
     rows = tg * l
     ct = compute_dtype
@@ -280,9 +300,21 @@ def _bwd_kernel(seed_ref, x_ref, pe_ref, *refs, k, dropout_rate,
     pe = pe_ref[...].astype(jnp.float32)
     f = _block_fwd(x3, pe, params, k, ct, dropout_rate)
 
-    g = g_ref[0].reshape(rows, d).astype(jnp.float32)
+    if reduce:
+        # d(masked max)/d(out): tie-splitting like jnp.max's VJP (gradient
+        # shared equally among argmax ties), then the mask_logits factor m
+        m3 = mask_ref[0].astype(jnp.float32)             # (tg, L, 1)
+        masked, mx = _masked_max(f["out"], m3, tg, l, d)
+        eq = (masked == mx[:, None, :]).astype(jnp.float32)
+        cnt = jnp.sum(eq, axis=1, keepdims=True)         # (tg, 1, D)
+        g3 = g_ref[0].astype(jnp.float32)                # (tg, 1, D)
+        g = ((g3 * eq / cnt) * m3).reshape(rows, d)
+    else:
+        g = g_ref[0].reshape(rows, d).astype(jnp.float32)
     g_h0, grads = _bwd_from_block(f, g, params, k, ct)
-    gx_ref[0] = g_h0.reshape(tg, l, d)                   # d(pos-add)/dx = 1
+    # gx written fresh per cell -> ride the PRIMAL dtype (bf16 policy):
+    # avoids XLA's f32->bf16 convert pass over (B, G, L, D) downstream
+    gx_ref[0] = g_h0.astype(gx_ref.dtype).reshape(tg, l, d)  # d(pos)/dx = 1
     for r, val in zip(gparam_refs, grads):
         r[...] += val.astype(jnp.float32)
 
@@ -315,52 +347,86 @@ def _param_out_shapes(k, d):
              (1, d), (1, d)]]
 
 
+def _reduce_operand_spec(reduce_mask, bsz, g, l, tg):
+    """The reduce-mode mask rides as (B, G, L, 1) f32 with a (1, tg, L, 1)
+    block (lane dim 1 == the array's, L full — Mosaic-legal); the reduced
+    output/cotangent is (B, G, 1, D) with a (1, tg, 1, D) block."""
+    mask4 = reduce_mask.reshape(bsz, g, l, 1).astype(jnp.float32)
+    mask_spec = pl.BlockSpec((1, tg, l, 1), lambda i, j, s: (i, j, 0, 0))
+    return mask4, mask_spec
+
+
 def _forward(x, pe, params, seed, k, dropout_rate, interpret=False,
-             compute_dtype=jnp.bfloat16):
-    """x: (B, G, L, D); pe: (L, D); params: dict of 14 arrays."""
+             compute_dtype=jnp.bfloat16, reduce_mask=None):
+    """x: (B, G, L, D); pe: (L, D); params: dict of 14 arrays.
+
+    With ``reduce_mask`` (B, G, L): returns the masked max over L,
+    (B, G, D) — the (B, G, L, D) block output never touches HBM."""
     bsz, g, l, d = x.shape
     tg = _seqs_per_cell(g, l, d, k)
     blk = pl.BlockSpec((1, tg, l, d), lambda i, j, s: (i, j, 0, 0))
     pe_spec = pl.BlockSpec((l, d), lambda i, j, s: (0, 0))
+    reduce = reduce_mask is not None
     kernel = functools.partial(_fwd_kernel, k=k, dropout_rate=dropout_rate,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, reduce=reduce)
+    in_specs = [blk, pe_spec] + _param_specs(k, d)
+    operands = [x, pe.astype(jnp.float32), *_param_operands(params, k, d)]
+    if reduce:
+        mask4, mask_spec = _reduce_operand_spec(reduce_mask, bsz, g, l, tg)
+        in_specs.append(mask_spec)
+        operands.append(mask4)
+        out_specs = [pl.BlockSpec((1, tg, 1, d), lambda i, j, s: (i, j, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((bsz, g, 1, d),
+                                          _out_dtype(compute_dtype))]
+    else:
+        out_specs = [blk]
+        out_shape = [jax.ShapeDtypeStruct((bsz, g, l, d),
+                                          _out_dtype(compute_dtype))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, g // tg),
-        in_specs=[blk, pe_spec] + _param_specs(k, d),
-        out_specs=[blk],
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     (out,) = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((bsz, g, l, d),
-                                        _out_dtype(compute_dtype))],
+        out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
-      *_param_operands(params, k, d))
-    return out
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *operands)
+    return out[:, :, 0] if reduce else out
 
 
 def _backward(x, pe, params, seed, g_out, k, dropout_rate, interpret=False,
-              compute_dtype=jnp.bfloat16):
+              compute_dtype=jnp.bfloat16, reduce_mask=None):
     bsz, g, l, d = x.shape
     tg = _seqs_per_cell(g, l, d, k)
     blk = pl.BlockSpec((1, tg, l, d), lambda i, j, s: (i, j, 0, 0))
     pe_spec = pl.BlockSpec((l, d), lambda i, j, s: (0, 0))
+    reduce = reduce_mask is not None
     kernel = functools.partial(_bwd_kernel, k=k, dropout_rate=dropout_rate,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, reduce=reduce)
+    in_specs = [blk, pe_spec] + _param_specs(k, d)
+    operands = [x, pe.astype(jnp.float32), *_param_operands(params, k, d)]
+    if reduce:
+        mask4, mask_spec = _reduce_operand_spec(reduce_mask, bsz, g, l, tg)
+        in_specs += [mask_spec,
+                     pl.BlockSpec((1, tg, 1, d), lambda i, j, s: (i, j, 0, 0))]
+        operands += [mask4, g_out.reshape(bsz, g, 1, d)]
+    else:
+        in_specs.append(blk)
+        operands.append(g_out)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, g // tg),
-        in_specs=[blk, pe_spec] + _param_specs(k, d) + [blk],
+        in_specs=in_specs,
         out_specs=[blk] + _param_specs(k, d),
     )
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((bsz, g, l, d), jnp.float32)]
+        out_shape=[jax.ShapeDtypeStruct((bsz, g, l, d), x.dtype)]
         + _param_out_shapes(k, d),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), x, pe.astype(jnp.float32),
-      *_param_operands(params, k, d), g_out)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *operands)
     return outs[0], outs[1:]
 
 
@@ -397,23 +463,29 @@ _PKEYS = ("ln0_s", "ln0_b", "dw0", "dwb0", "pw0", "pwb0",
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_encoder_block(x, pe, params, seed, k, compute_dtype=jnp.bfloat16,
-                        dropout_rate=0.0):
+                        dropout_rate=0.0, reduce_mask=None):
     """Pallas forward + Pallas backward (TPU) / pure-JAX rematerialized
     backward (interpret mode, dropout_rate == 0 only).
 
     x: (B, G, L, D) — merge all leading batch dims into G (free reshape);
     pe: (L, D) positional table; params: dict with keys
     ln0_s/ln0_b/dw0/dwb0/pw0/pwb0/ln1_s/.../lnf_s/lnf_b.
+
+    With ``reduce_mask`` (B, G, L) the kernel also folds in the consumer's
+    masked word-max (``max(mask_logits(out, m), axis=-2)``, reference
+    stage.py:500-505) and returns (B, G, D) — the full (B, G, L, D) output
+    and its cotangent never touch HBM (~120 MB/step at bench shapes).
     """
     return _forward(x, pe, params, seed, k, dropout_rate,
                     interpret=jax.default_backend() != "tpu",
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, reduce_mask=reduce_mask)
 
 
-def _fused_fwd(x, pe, params, seed, k, compute_dtype, dropout_rate):
+def _fused_fwd(x, pe, params, seed, k, compute_dtype, dropout_rate,
+               reduce_mask=None):
     out = fused_encoder_block(x, pe, params, seed, k, compute_dtype,
-                              dropout_rate)
-    return out, (x, pe, params, seed)
+                              dropout_rate, reduce_mask)
+    return out, (x, pe, params, seed, reduce_mask)
 
 
 def _fused_bwd(k, compute_dtype, dropout_rate, residuals, g):
@@ -421,14 +493,16 @@ def _fused_bwd(k, compute_dtype, dropout_rate, residuals, g):
     if dropout_rate > 0.0 and not on_tpu:
         raise NotImplementedError(
             "in-kernel dropout backward needs the TPU PRNG")
-    x, pe, params, seed = residuals
+    x, pe, params, seed, reduce_mask = residuals
     gx, gparams = _backward(x, pe, params, seed, g, k, dropout_rate,
                             interpret=not on_tpu,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype,
+                            reduce_mask=reduce_mask)
     gp = {key: gv.reshape(jnp.shape(params[key]))
           for key, gv in zip(_PKEYS, gparams)}
+    g_mask = None if reduce_mask is None else jnp.zeros_like(reduce_mask)
     return (gx.astype(x.dtype), jnp.zeros_like(pe), gp,
-            np.zeros(jnp.shape(seed), jax.dtypes.float0))
+            np.zeros(jnp.shape(seed), jax.dtypes.float0), g_mask)
 
 
 fused_encoder_block.defvjp(_fused_fwd, _fused_bwd)

@@ -171,8 +171,14 @@ def _bwd_kernel(seed_ref, s_ref, v_ref, gin_ref, bin_ref, w_ref, b_ref,
     m2i = jnp.sum(gxh * xhat, -1, keepdims=True) * inv3d
     gx = f["inv_std"] * (gxh - m1i - xhat * m2i)         # (rows, 3D)
     gx0, gx1, gx2 = gx[:, :d], gx[:, d:2 * d], gx[:, 2 * d:]
-    gs_ref[0] = (gx0 + gx2 * v_r).reshape(a_dim, t_frames, lqa, d)
-    gv_ref[0] = (gx1 + gx2 * s_r).reshape(a_dim, t_frames, lqa, d)
+    # activation cotangents ride the PRIMAL dtype straight out of the
+    # kernel (bf16 under the bf16 policy): writing f32 and converting in
+    # XLA costs an extra full read+write of two (B, A, Li, Lqa, D) tensors
+    # (~160 MB/step at bench shapes, profiled round 4)
+    gs_ref[0] = (gx0 + gx2 * v_r).astype(gs_ref.dtype).reshape(
+        a_dim, t_frames, lqa, d)
+    gv_ref[0] = (gx1 + gx2 * s_r).astype(gv_ref.dtype).reshape(
+        a_dim, t_frames, lqa, d)
 
 
 def _specs(bsz, num_a, lqa, d, li, t):
@@ -231,8 +237,8 @@ def _backward(s, v, gamma_in, beta_in, w, b, gamma_out, beta_out, seed,
     gs, gv, ggin, gbin, gw, gb, ggout, gbout = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, num_a, li, lqa, d), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, num_a, li, lqa, d), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, num_a, li, lqa, d), s.dtype),
+            jax.ShapeDtypeStruct((bsz, num_a, li, lqa, d), v.dtype),
             jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
             jax.ShapeDtypeStruct((3 * d, d), jnp.float32),
