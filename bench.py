@@ -105,7 +105,7 @@ def fused_kernel_flops(cfg, li, lr_sub, lr_vid):
     return executed, recompute
 
 
-def run_bench(li, k, compute_dtype, use_pallas):
+def run_bench(li, k, compute_dtype, use_pallas, bsz=16):
     """Measure the training step at frame-bucket ``li``.  Returns a dict of
     step_s / qps / FLOPs detail (executed- and model-FLOPs MFU)."""
     from tvqaplus_tpu.config import Config
@@ -115,7 +115,7 @@ def run_bench(li, k, compute_dtype, use_pallas):
     from tvqaplus_tpu.train.loop import Trainer
     from tvqaplus_tpu.utils.timing import compiled_flops
 
-    cfg = Config(bsz=16, test_bsz=16, use_sup_att=True, add_local=True,
+    cfg = Config(bsz=bsz, test_bsz=bsz, use_sup_att=True, add_local=True,
                  synthetic_data=True, results_dir_base="results/bench",
                  compute_dtype=compute_dtype, use_pallas=use_pallas,
                  img_buckets=[li])
@@ -167,7 +167,7 @@ def run_bench(li, k, compute_dtype, use_pallas):
         dt = min(dt, time.perf_counter() - t0)
     step_s = dt / (STEPS * k)
 
-    out = {"li": li, "step_s": step_s, "qps": cfg.bsz / step_s,
+    out = {"li": li, "bsz": bsz, "step_s": step_s, "qps": cfg.bsz / step_s,
            "executed_flops": executed_flops, "model_flops": model_flops}
     if executed_flops:
         tflops = executed_flops / step_s / 1e12
@@ -180,7 +180,8 @@ def run_bench(li, k, compute_dtype, use_pallas):
 
 
 def detail_line(r, k, compute_dtype, use_pallas, baseline):
-    d = (f"# li={r['li']} step_ms={1000*r['step_s']:.3f} "
+    d = (f"# li={r['li']} bsz={r.get('bsz', 16)} "
+         f"step_ms={1000*r['step_s']:.3f} "
          f"steps_per_dispatch={k} dtype={compute_dtype} "
          f"pallas={use_pallas} torch_cpu_baseline={baseline}")
     if r["executed_flops"]:
