@@ -105,7 +105,7 @@ def fused_kernel_flops(cfg, li, lr_sub, lr_vid):
     return executed, recompute
 
 
-def run_bench(li, k, compute_dtype, use_pallas, bsz=16):
+def run_bench(li, k, compute_dtype, use_pallas, bsz=16, hard_neg=False):
     """Measure the training step at frame-bucket ``li``.  Returns a dict of
     step_s / qps / FLOPs detail (executed- and model-FLOPs MFU)."""
     from tvqaplus_tpu.config import Config
@@ -140,7 +140,7 @@ def run_bench(li, k, compute_dtype, use_pallas, bsz=16):
     single = shard_batch(mesh, arrays)
     xla_flops = compiled_flops(
         trainer._train_step, trainer.state, single, trainer.rng,
-        use_hard_negatives=False)
+        use_hard_negatives=hard_neg)
     executed_flops = model_flops = None
     if xla_flops:
         kernel_exec, kernel_rec = fused_kernel_flops(
@@ -154,7 +154,7 @@ def run_bench(li, k, compute_dtype, use_pallas, bsz=16):
     # compile + warmup
     for _ in range(WARMUP):
         trainer.state, metrics = trainer._train_step_scan(
-            trainer.state, batch, trainer.rng, use_hard_negatives=False)
+            trainer.state, batch, trainer.rng, use_hard_negatives=hard_neg)
     host_sync(metrics)
 
     dt = float("inf")
@@ -162,12 +162,14 @@ def run_bench(li, k, compute_dtype, use_pallas, bsz=16):
         t0 = time.perf_counter()
         for _ in range(STEPS):
             trainer.state, metrics = trainer._train_step_scan(
-                trainer.state, batch, trainer.rng, use_hard_negatives=False)
+                trainer.state, batch, trainer.rng,
+                use_hard_negatives=hard_neg)
         host_sync(metrics)  # forces the whole trial's chain
         dt = min(dt, time.perf_counter() - t0)
     step_s = dt / (STEPS * k)
 
-    out = {"li": li, "bsz": bsz, "step_s": step_s, "qps": cfg.bsz / step_s,
+    out = {"li": li, "bsz": bsz, "hard_neg": hard_neg,
+           "step_s": step_s, "qps": cfg.bsz / step_s,
            "executed_flops": executed_flops, "model_flops": model_flops}
     if executed_flops:
         tflops = executed_flops / step_s / 1e12
@@ -183,7 +185,9 @@ def detail_line(r, k, compute_dtype, use_pallas, baseline):
     d = (f"# li={r['li']} bsz={r.get('bsz', 16)} "
          f"step_ms={1000*r['step_s']:.3f} "
          f"steps_per_dispatch={k} dtype={compute_dtype} "
-         f"pallas={use_pallas} torch_cpu_baseline={baseline}")
+         f"pallas={use_pallas}"
+         f"{' hard_neg=True' if r.get('hard_neg') else ''}"
+         f" torch_cpu_baseline={baseline}")
     if r["executed_flops"]:
         d += (f" executed_gflops={r['executed_flops']/1e9:.1f}"
               f" model_gflops={r['model_flops']/1e9:.1f}"
@@ -232,6 +236,13 @@ def main():
     # secondary detail to stderr (not part of the contract line)
     print(detail_line(res, k, compute_dtype, use_pallas, baseline),
           file=sys.stderr)
+    if os.environ.get("BENCH_HARD_NEG", "1") == "1":
+        # hard-negative att-loss sampling (reference stage.py:557-611,
+        # activates after epoch hard_negative_start) — proves the variant
+        # runs on-chip with no step-time cliff (VERDICT r3 item 7)
+        hard = run_bench(50, k, compute_dtype, use_pallas, hard_neg=True)
+        print(detail_line(hard, k, compute_dtype, use_pallas, baseline),
+              file=sys.stderr)
     if os.environ.get("BENCH_STRETCH", "1") == "1":
         # Li=100 stretch shape (1 fps frame_interval=3 config; the
         # context-parallel story's motivating shape, docs/BENCH.md)

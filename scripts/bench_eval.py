@@ -29,25 +29,37 @@ def timeit(fn, *a, n=50):
     # host-fetch sync: block_until_ready is a no-op on axon (utils/timing.py)
     return timeit_host_synced(lambda: fn(*a), n=n, warmup=2, trials=3)
 
-for use_pallas in (False, True):
-    p, b, fwd = build(use_pallas)
-    ms = timeit(fwd, p, b)
-    print(f"eval fwd use_pallas={use_pallas}: {ms:.3f} ms  ({16/ms*1000:.0f} qa/s)", flush=True)
+# Sections are env-gated so a long grounding compile can be re-run alone
+# (first grounding pass pays ~60-120 s of infer_step compiles through the
+# remote-compile tunnel; the persistent cache makes repeats fast).
+RUN_FWD = os.environ.get("BENCH_EVAL_FWD", "1") == "1"
+RUN_QA = os.environ.get("BENCH_EVAL_QA", "1") == "1"
+RUN_GROUNDING = os.environ.get("BENCH_EVAL_GROUNDING", "1") == "1"
+
+if RUN_FWD:
+    for use_pallas in (False, True):
+        p, b, fwd = build(use_pallas)
+        ms = timeit(fwd, p, b)
+        print(f"eval fwd use_pallas={use_pallas}: {ms:.3f} ms  ({16/ms*1000:.0f} qa/s)", flush=True)
 
 
-def bench_end_to_end(n_examples=256, grounding=False):
+def bench_end_to_end(n_examples=256, grounding=False, li=50,
+                     frame_interval=6, tag=""):
     """Full InferenceRunner serving loop over synthetic examples: host
     collation + upload + device step + host prediction assembly.  Wall
     clock is valid here — the runner host-fetches every batch's outputs."""
     from tvqaplus_tpu.infer.predict import InferenceRunner
 
     cfg = Config(bsz=16, test_bsz=16, synthetic_data=True,
-                 results_dir_base="results/bench", img_buckets=[50],
+                 results_dir_base="results/bench", img_buckets=[li],
+                 max_num_img=li, frame_interval=frame_interval,
+                 # unique-subtitle-token cap scales with clip length
+                 max_sub_tokens=max(512, 512 * li // 50),
                  compute_dtype="bfloat16", use_pallas=True)
     cfg.finalize(save=False)
     model = STAGE(ModelConfig.from_config(cfg))
     ds = SyntheticTVQADataset(cfg, n_examples, mode="valid")
-    spec = StaticShapeSpec.from_config(cfg, batch=cfg.test_bsz, max_img=50)
+    spec = StaticShapeSpec.from_config(cfg, batch=cfg.test_bsz, max_img=li)
     arrays, _ = collate_static([ds[i] for i in range(cfg.test_bsz)], spec)
     params = model.init({"params": jax.random.PRNGKey(0)}, arrays,
                         train=False)["params"]
@@ -58,9 +70,16 @@ def bench_end_to_end(n_examples=256, grounding=False):
     preds = runner.run(ds, mode="valid", object_word_ids=obj_ids)
     dt = time.perf_counter() - t0
     n = len(preds["ts_answer"])
-    print(f"serving e2e grounding={grounding}: {n} examples in {dt:.2f} s "
-          f"-> {n / dt:.1f} qa/s", flush=True)
+    print(f"serving e2e{tag} grounding={grounding}: {n} examples in "
+          f"{dt:.2f} s -> {n / dt:.1f} qa/s", flush=True)
 
 
-bench_end_to_end(grounding=False)
-bench_end_to_end(grounding=True)
+if RUN_QA:
+    bench_end_to_end(grounding=False)
+if RUN_GROUNDING:
+    bench_end_to_end(grounding=True)
+if os.environ.get("BENCH_EVAL_STRETCH", "0") == "1":
+    # stretch config #5 (BASELINE.json): 2x frame rate (frame_interval=3)
+    # -> Li=100 long clips, full batched inference incl. grounding records
+    bench_end_to_end(n_examples=128, grounding=True, li=100,
+                     frame_interval=3, tag=" stretch(li=100,fi=3)")

@@ -32,6 +32,7 @@ SITES = [
     ("qa  (16,5,40)", (16, 5, 40, 128), 7),
     ("sub (16,50,50)", (16, 50, 50, 128), 7),
     ("vid (16,50,25)", (16, 50, 25, 128), 7),
+    ("mrg (16,105,50)", (16, 105, 50, 128), 7),  # merged qa+sub+vid site
     ("cls (16,250,40)", (16, 250, 40, 128), 5),   # regression guard
 ]
 N_INNER = 20          # grad steps per dispatch (amortizes tunnel latency)

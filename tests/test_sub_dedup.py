@@ -129,6 +129,46 @@ class TestModelEquivalence:
                 np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
             g_d, g_e)
 
+    def test_merged_input_encoder_equals_separate(self, tmp_path):
+        """merge_input_streams (one input_encoder call over qa+sub+vid,
+        stage.py _merged_input_encode) is exact: the zero-masked conv
+        inputs make every tap read what per-stream SAME padding would.
+        Same params, dropout=0 -> losses and gradients agree to float
+        noise.  The small config's unequal lengths (Lqa=10, Ls=8, Lr=5)
+        exercise the padded-tail re-zeroing on both shorter streams."""
+        cfg = small_cfg(tmp_path)
+        dedup, _, _, _ = _both_batches(cfg)
+        mc = dataclasses.replace(ModelConfig.from_config(cfg), dropout=0.0)
+        m_on = STAGE(dataclasses.replace(mc, merge_input_streams=True))
+        m_off = STAGE(dataclasses.replace(mc, merge_input_streams=False))
+        params = m_on.init({"params": jax.random.PRNGKey(0)}, dedup,
+                           train=False)["params"]
+
+        def loss_fn(model):
+            def f(p):
+                out = model.apply({"params": p}, dedup, train=True,
+                                  rngs={"dropout": jax.random.PRNGKey(1)})
+                loss, _ = losses.total_loss(
+                    out, dedup, jax.random.PRNGKey(2), use_sup_att=True,
+                    entry_cap=cfg.att_entry_cap, train=True)
+                return loss
+            return f
+
+        l_on, g_on = jax.value_and_grad(loss_fn(m_on))(params)
+        l_off, g_off = jax.value_and_grad(loss_fn(m_off))(params)
+        np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+            g_on, g_off)
+
+        out_on = m_on.apply({"params": params}, dedup, train=False)
+        out_off = m_off.apply({"params": params}, dedup, train=False)
+        for k in ("answer_scores", "t_scores", "sub_raw_s", "vid_raw_s"):
+            np.testing.assert_allclose(np.asarray(out_on[k]),
+                                       np.asarray(out_off[k]),
+                                       rtol=1e-6, atol=1e-6)
+
     def test_eval_outputs_match_expanded(self, tmp_path):
         cfg = small_cfg(tmp_path)
         dedup, expanded, _, _ = _both_batches(cfg)

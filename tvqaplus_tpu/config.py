@@ -169,6 +169,17 @@ class Config:
     # eval (invalid slots gather a reserved all-zero token = the expanded
     # path's zero padding), ~5x less upload bandwidth and bridge compute.
     sub_dedup: bool = True
+    # Merge the qa/sub/vid streams into ONE input_encoder call: each
+    # stream's pre-encoder embedding is zero-padded to the longest L and
+    # concatenated on the group axis, and the conv inputs are re-zeroed at
+    # the padded tail so every tap reads exactly what the per-stream SAME
+    # padding would (models/stage.py _merged_input_encode) — mathematically
+    # exact (tests/test_sub_dedup.py).  Only active with sub_dedup batches.
+    # Default False: on the PURE-XLA encoder the +33% padding bytes beat
+    # the op-count savings (measured r4: 11.12 vs 10.09 ms/step); it pays
+    # off only when the merged site runs the fused encoder kernel (one HBM
+    # pass), see docs/BENCH.md.
+    merge_input_streams: bool = False
     max_sub_tokens: int = 512           # St cap (unique tokens per example)
     max_num_proposal: int = 1           # P = max_num_proposal + 1 slots
     att_entry_cap: int = 128            # max positive att entries per example

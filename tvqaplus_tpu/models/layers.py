@@ -237,14 +237,24 @@ class EncoderBlock(nn.Module):
             return out.reshape(lead + (d,))
         return out.reshape(lead + (l, d))
 
-    def __call__(self, x, mask=None, *, train: bool, reduce_mask=None):
+    def __call__(self, x, mask=None, *, train: bool, reduce_mask=None,
+                 zero_mask=None):
         """``reduce_mask`` (x's leading dims + (L,)): also fold in the
         consumer's masked word-max, returning (..., D) — in the fused
         kernel the full (..., L, D) output never reaches HBM (reference
-        stage.py:500-505 semantics, max(mask_logits(out, m), axis=-2))."""
+        stage.py:500-505 semantics, max(mask_logits(out, m), axis=-2)).
+
+        ``zero_mask`` (broadcastable to x.shape[:-1]): re-zero each conv's
+        INPUT at masked positions, so a tap reading past a sequence's true
+        length sees exactly the zeros that per-stream SAME padding would.
+        Used by the merged-stream input encoder (stage.py
+        _merged_input_encode), where sequences of different true lengths
+        share one padded L axis — with it the merged outputs equal the
+        separate per-stream calls exactly (positions past the true length
+        are garbage and must be sliced away by the caller)."""
         dropout_active = train and self.dropout > 0.0
         if (self.use_pallas and self.num_heads == 0 and self.n_conv == 2
-                and x.ndim >= 3
+                and x.ndim >= 3 and zero_mask is None
                 and (not dropout_active
                      or jax.default_backend() == "tpu")):
             return self._fused(x, train=train, reduce_mask=reduce_mask)
@@ -254,6 +264,8 @@ class EncoderBlock(nn.Module):
             out = self.ln[i](out, self.dtype)
             if i % 2 == 0:  # dropout on even conv layers only (encoder.py:41)
                 out = self.drop(out, deterministic=not train)
+            if zero_mask is not None:
+                out = out * zero_mask[..., None]
             out = self.conv[i](out, self.dtype)
             out = out + residual
         if self.num_heads:
@@ -278,7 +290,8 @@ class StackedEncoder(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, *, train: bool, reduce_mask=None):
+    def __call__(self, x, mask=None, *, train: bool, reduce_mask=None,
+                 zero_mask=None):
         for i in range(self.n_blocks):
             last = i == self.n_blocks - 1
             x = EncoderBlock(x.shape[-1], self.n_conv, self.kernel_size,
@@ -286,7 +299,8 @@ class StackedEncoder(nn.Module):
                              self.use_pallas,
                              name=f"block_{i}")(
                 x, mask, train=train,
-                reduce_mask=reduce_mask if last else None)
+                reduce_mask=reduce_mask if last else None,
+                zero_mask=zero_mask)
         return x
 
 

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tvqaplus_tpu.models import spans
 from tvqaplus_tpu.models.attention import (
@@ -72,6 +73,7 @@ class ModelConfig:
     cls_encoder_n_heads: int = 0
     compute_dtype: str = "float32"
     use_pallas: bool = False
+    merge_input_streams: bool = False
 
     @classmethod
     def from_config(cls, cfg):
@@ -100,6 +102,7 @@ class ModelConfig:
             cls_encoder_n_heads=cfg.cls_encoder_n_heads,
             compute_dtype=cfg.compute_dtype,
             use_pallas=cfg.use_pallas,
+            merge_input_streams=getattr(cfg, "merge_input_streams", False),
         )
 
     @property
@@ -167,6 +170,60 @@ class STAGE(nn.Module):
         x = init_encoder(data, train=train)
         x = self.input_embedding(x, train=train)
         return self.input_encoder(x, mask, train=train)
+
+    def _gather_sub_windows(self, tok, idx):
+        """Frame-aligned subtitle windows from the per-unique-token stream
+        (sub_dedup contract; reference tvqa_dataset.py:164-185 expansion,
+        done here on device at hsz).  ``tok`` (B, St, h), ``idx``
+        (B, Li, Ls) int32 -> (B, Li, Ls, h)."""
+        bsz_, li_, ls_ = idx.shape
+        if self.cfg.use_pallas:
+            # TPU policy: the window gather as a one-hot matmul — exact
+            # (one nonzero per row), and both it and its transpose (the
+            # backward scatter-add, the single largest non-kernel op at
+            # 0.33 ms/step, profiled r4) run on the MXU instead of the
+            # row-DMA gather engine
+            onehot = (idx.reshape(bsz_, li_ * ls_)[..., None]
+                      == jnp.arange(tok.shape[1])[None, None]
+                      ).astype(tok.dtype)
+            win = jnp.einsum("bws,bsd->bwd", onehot, tok)
+        else:
+            win = jnp.take_along_axis(
+                tok, idx.reshape(bsz_, li_ * ls_)[..., None], axis=1)
+        return win.reshape(bsz_, li_, ls_, tok.shape[-1])
+
+    def _merged_input_encode(self, qa_pre, sub_pre, vid_pre, *, train):
+        """ONE input_encoder call over the qa/sub/vid streams.
+
+        The three post-bridge embeddings are zero-padded on L to the
+        longest stream and concatenated on the group axis — (B, A, Lqa, h)
+        + (B, Li, Ls, h) + (B, Li, Lr, h) -> (B, A+2*Li, Lmax, h) — so the
+        encoder's convs/LNs run as one set of large ops instead of three
+        (the base_enc bucket was ~30 small XLA ops at 2.18 ms/step,
+        docs/BENCH.md r4).  A static per-group ``zero_mask`` re-zeroes each
+        conv's input past a stream's true length, making every tap read
+        exactly what per-stream SAME padding would — the split outputs
+        equal the separate calls exactly (see EncoderBlock.__call__)."""
+        a, lqa = qa_pre.shape[1], qa_pre.shape[2]
+        li, ls = sub_pre.shape[1], sub_pre.shape[2]
+        lr = vid_pre.shape[2]
+        lmax = max(lqa, ls, lr)
+
+        def padded(x):
+            pad = lmax - x.shape[2]
+            if pad == 0:
+                return x
+            return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+        merged = jnp.concatenate(
+            [padded(qa_pre), padded(sub_pre), padded(vid_pre)], axis=1)
+        lens = np.concatenate([np.full(a, lqa), np.full(li, ls),
+                               np.full(li, lr)])
+        zm = jnp.asarray(
+            (np.arange(lmax)[None, :] < lens[:, None]), self.cfg.dtype)
+        enc = self.input_encoder(merged, None, train=train, zero_mask=zm)
+        return (enc[:, :a, :lqa], enc[:, a:a + li, :ls],
+                enc[:, a + li:, :lr])
 
     def qa_ctx_attention(self, qa_embed, ctx_embed, qa_mask, ctx_mask, *,
                          train, use_void=False, need_raw=True,
@@ -271,50 +328,63 @@ class STAGE(nn.Module):
         # under the bf16 policy; f32 in parity tests) — a forced f32 cast
         # here would materialize an extra full pass over the biggest
         # tensors (profiled: ~0.6 ms/step at bench shapes)
-        a_embed = self.base_encoder(
-            batch["qas_bert"], batch["qas_mask"],
-            self.bert_word_encoding_fc, train=train)
+        # stream encodings.  With merge_input_streams (and a sub_dedup
+        # batch) all three streams run through ONE input_encoder call —
+        # see _merged_input_encode; the separate path below is the
+        # reference-shaped fallback (and the non-dedup configs').
+        merged = (c.merge_input_streams and c.sub_flag and c.vfeat_flag
+                  and "sub_tokens" in batch)
+        sub_embed = vid_embed = None
+        if merged:
+            qa_pre = self.input_embedding(
+                self.bert_word_encoding_fc(batch["qas_bert"], train=train),
+                train=train)
+            # dedup contract (config.py sub_dedup): the bridge +
+            # input_embedding (both token-pointwise, reference
+            # stage.py:85-120) run ONCE per unique subtitle token of
+            # the video stream — the reference h5's native layout —
+            # and the frame-aligned windows (tvqa_dataset.py:164-185)
+            # are gathered at hsz on device.  Invalid window slots
+            # gather the reserved all-zero token 0, whose encoding
+            # equals the expanded path's bridge(0) padding rows, so
+            # the conv encoder sees identical inputs.
+            tok = self.bert_word_encoding_fc(batch["sub_tokens"],
+                                             train=train)
+            tok = self.input_embedding(tok, train=train)      # (B, St, h)
+            win = self._gather_sub_windows(tok, batch["sub_win_idx"])
+            vid_pre = self.input_embedding(
+                self.vid_fc(l2_normalize(batch["vid"]), train=train),
+                train=train)                            # (stage.py:256)
+            a_embed, sub_embed, vid_embed = self._merged_input_encode(
+                qa_pre, win, vid_pre, train=train)
+        else:
+            a_embed = self.base_encoder(
+                batch["qas_bert"], batch["qas_mask"],
+                self.bert_word_encoding_fc, train=train)
+            if c.sub_flag:
+                if "sub_tokens" in batch:
+                    # dedup contract — see the merged branch above
+                    tok = self.bert_word_encoding_fc(batch["sub_tokens"],
+                                                     train=train)
+                    tok = self.input_embedding(tok, train=train)
+                    win = self._gather_sub_windows(tok,
+                                                   batch["sub_win_idx"])
+                    sub_embed = self.input_encoder(win, batch["sub_mask"],
+                                                   train=train)
+                else:
+                    sub_embed = self.base_encoder(
+                        batch["sub_bert"], batch["sub_mask"],
+                        self.bert_word_encoding_fc, train=train)
+            if c.vfeat_flag:
+                vid_embed = self.base_encoder(
+                    l2_normalize(batch["vid"]),         # (stage.py:256)
+                    batch["vid_mask"], self.vid_fc, train=train)
         a_embed = a_embed[:, :, None]                   # (B, A, 1, Lqa, h)
         a_mask = batch["qas_mask"][:, :, None]          # (B, A, 1, Lqa)
 
         attended_sub = attended_vid = None
         attended_sub_mask = attended_vid_mask = None
         if c.sub_flag:
-            if "sub_tokens" in batch:
-                # dedup contract (config.py sub_dedup): the bridge +
-                # input_embedding (both token-pointwise, reference
-                # stage.py:85-120) run ONCE per unique subtitle token of
-                # the video stream — the reference h5's native layout —
-                # and the frame-aligned windows (tvqa_dataset.py:164-185)
-                # are gathered at hsz on device.  Invalid window slots
-                # gather the reserved all-zero token 0, whose encoding
-                # equals the expanded path's bridge(0) padding rows, so
-                # the conv encoder sees identical inputs.
-                tok = self.bert_word_encoding_fc(batch["sub_tokens"],
-                                                 train=train)
-                tok = self.input_embedding(tok, train=train)  # (B, St, h)
-                idx = batch["sub_win_idx"]                    # (B, Li, Ls)
-                bsz_, li_, ls_ = idx.shape
-                if c.use_pallas:
-                    # TPU policy: the window gather as a one-hot matmul —
-                    # exact (one nonzero per row), and both it and its
-                    # transpose (the backward scatter-add, the single
-                    # largest non-kernel op at 0.33 ms/step, profiled r4)
-                    # run on the MXU instead of the row-DMA gather engine
-                    onehot = (idx.reshape(bsz_, li_ * ls_)[..., None]
-                              == jnp.arange(tok.shape[1])[None, None]
-                              ).astype(tok.dtype)
-                    win = jnp.einsum("bws,bsd->bwd", onehot, tok)
-                else:
-                    win = jnp.take_along_axis(
-                        tok, idx.reshape(bsz_, li_ * ls_)[..., None], axis=1)
-                win = win.reshape(bsz_, li_, ls_, tok.shape[-1])
-                sub_embed = self.input_encoder(win, batch["sub_mask"],
-                                               train=train)
-            else:
-                sub_embed = self.base_encoder(
-                    batch["sub_bert"], batch["sub_mask"],
-                    self.bert_word_encoding_fc, train=train)
             sub_embed = sub_embed[:, None]              # (B, 1, Li, Ls, h)
             sub_mask = batch["sub_mask"][:, None]
             attended_sub, attended_sub_mask, sub_raw_s, sub_norm_s = \
@@ -325,9 +395,6 @@ class STAGE(nn.Module):
                 out["sub_normalized_s"] = sub_norm_s
 
         if c.vfeat_flag:
-            vid_embed = l2_normalize(batch["vid"])      # (stage.py:256)
-            vid_embed = self.base_encoder(
-                vid_embed, batch["vid_mask"], self.vid_fc, train=train)
             vid_embed = vid_embed[:, None]              # (B, 1, Li, Lr, h)
             vid_mask = batch["vid_mask"][:, None]
             attended_vid, attended_vid_mask, vid_raw_s, vid_norm_s = \
