@@ -36,11 +36,13 @@ def test_reference_evaluator_scores_our_predictions(tmp_path, monkeypatch):
     assert chk["qa_acc"] == 1.0 and chk["grd_map"] > 0.99 \
         and chk["miou"] > 0.99 and chk["asa"] > 0.99, chk
 
-    # train briefly + infer on the same artifacts (in-process, CPU mesh)
+    # train on the same artifacts (in-process, CPU mesh); the fixture
+    # plants a learnable signal (fixtures.py), so a few epochs must beat
+    # chance — this guards TRAINING QUALITY, not just format compatibility
     monkeypatch.chdir(tmp_path)
     flags = [f"--{k}={v}" for k, v in paths.items()] + [
         "--embedding_size=24", "--vfeat_size=12", "--num_region=5",
-        "--hsz=16", "--n_epoch=1", "--log_freq=2", "--bsz=4",
+        "--hsz=16", "--n_epoch=4", "--log_freq=2", "--bsz=4",
         "--test_bsz=4", "--use_sup_att", "--add_local", "--no_core_driver",
         "--results_dir_base", str(tmp_path / "run")]
     results_dir, _ = train_main.main(flags)
@@ -54,3 +56,5 @@ def test_reference_evaluator_scores_our_predictions(tmp_path, monkeypatch):
                                 paths["word2idx_path"])
     assert set(m) == {"qa_acc", "grd_map", "miou", "asa"}
     assert all(0.0 <= v <= 1.0 for v in m.values()), m
+    # planted-signal quality bar: chance is 0.2 (5 answers)
+    assert m["qa_acc"] >= 0.5, f"planted signal not learned: {m}"

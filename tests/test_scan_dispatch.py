@@ -56,6 +56,28 @@ def test_grouped_pipeline_flushes_leftovers(tmp_path):
     assert shapes.count((4,)) == 1
 
 
+def test_grouped_bucket_batching_stacks_interleaved_buckets(tmp_path):
+    """Shuffle-mode bucket batching emits buckets interleaved as their
+    buffers fill; grouping buffers PER BUCKET so full K-stacks still form
+    (consecutive-run grouping measured K=1 on 127/127 dispatches, r4)."""
+    from tvqaplus_tpu.data.pipeline import DataPipeline
+    cfg = small_cfg(tmp_path, img_buckets=[4, 6])
+    ds = SyntheticTVQADataset(cfg, 64, mode="train")
+    pipe = DataPipeline(ds, cfg, mesh=None, batch_size=4, group=2,
+                        shuffle=True, seed=3)
+    ks_by_bucket, n_examples = {}, 0
+    for arrays, meta, bucket in pipe:
+        k = arrays["ex_mask"].shape[0] if arrays["ex_mask"].ndim == 2 else 1
+        ks_by_bucket.setdefault(bucket, []).append(k)
+        n_examples += len(meta["qid"])
+    assert n_examples == 64          # every example delivered exactly once
+    assert len(ks_by_bucket) == 2    # both buckets actually occurred
+    for bucket, ks in ks_by_bucket.items():
+        # at most (group-1) leftover full batches + 1 partial flush as K=1
+        assert sum(1 for k in ks if k == 1) <= 2, (bucket, ks)
+        assert any(k == 2 for k in ks), (bucket, ks)
+
+
 def test_auto_steps_per_dispatch(tmp_path):
     from tvqaplus_tpu.train.loop import auto_steps_per_dispatch
     cfg = small_cfg(tmp_path)

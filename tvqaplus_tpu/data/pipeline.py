@@ -148,27 +148,30 @@ class DataPipeline:
         return arrays, meta, bucket
 
     def _grouped_batches(self):
-        """Stack `group` consecutive same-bucket batches along a new leading
-        axis K (for the lax.scan multi-step dispatch); leftovers and bucket
-        changes flush as single batches."""
-        buf, buf_meta, buf_bucket = [], [], None
+        """Stack `group` same-bucket batches along a new leading axis K
+        (for the lax.scan multi-step dispatch); leftovers flush as single
+        batches.  Batches buffer PER BUCKET: the one-pass bucket batcher
+        (shuffle mode) emits buckets interleaved as their buffers fill, so
+        consecutive-run grouping would flush K=1 singles at almost every
+        batch (measured r4: 127/127 dispatches unstacked) — per-bucket
+        buffers form full K-stacks regardless of emission order, holding
+        at most n_buckets*(group-1) collated batches."""
+        bufs = {}
         for arrays, meta, bucket in self._batches():
-            if buf and bucket != buf_bucket:
-                for a, m in zip(buf, buf_meta):
-                    yield a, m, buf_bucket
-                buf, buf_meta = [], []
-            buf.append(arrays)
-            buf_meta.append(meta)
-            buf_bucket = bucket
-            if len(buf) == self.group:
-                stacked = {k: np.stack([b[k] for b in buf])
-                           for k in buf[0]}
-                merged = {k: sum((m[k] for m in buf_meta), [])
-                          for k in buf_meta[0]}
-                yield stacked, merged, buf_bucket
-                buf, buf_meta = [], []
-        for a, m in zip(buf, buf_meta):
-            yield a, m, buf_bucket
+            bats, metas = bufs.setdefault(bucket, ([], []))
+            bats.append(arrays)
+            metas.append(meta)
+            if len(bats) == self.group:
+                stacked = {k: np.stack([b[k] for b in bats])
+                           for k in bats[0]}
+                merged = {k: sum((m[k] for m in metas), [])
+                          for k in metas[0]}
+                yield stacked, merged, bucket
+                bufs.pop(bucket)
+        for bucket in sorted(bufs):
+            bats, metas = bufs[bucket]
+            for a, m in zip(bats, metas):
+                yield a, m, bucket
 
     def _place(self, arrays, stacked=False):
         if self.mesh is not None:
