@@ -64,21 +64,9 @@ def main():
     trainer = Trainer(cfg, mesh=mesh)
     k = trainer.steps_per_dispatch
 
-    class _Cached:
-        """Pre-generated examples: the epoch numbers measure the training
-        system (collation + upload + device), not the synthetic GENERATOR
-        — streaming generation gated the free-running epoch at ~16 qa/s
-        on this 1-vCPU host (measured r4)."""
-        def __init__(self, ds):
-            self.examples = [ds[i] for i in range(len(ds))]
-
-        def __len__(self):
-            return len(self.examples)
-
-        def __getitem__(self, i):
-            return self.examples[i]
-
-    ds = _Cached(SyntheticTVQADataset(cfg, args.n_examples, mode="train"))
+    from tvqaplus_tpu.data.synthetic import CachedDataset
+    ds = CachedDataset(SyntheticTVQADataset(cfg, args.n_examples,
+                                            mode="train"))
 
     def dispatch(batch):
         trainer.state, metrics = (

@@ -48,6 +48,7 @@ def bench_end_to_end(n_examples=256, grounding=False, li=50,
     """Full InferenceRunner serving loop over synthetic examples: host
     collation + upload + device step + host prediction assembly.  Wall
     clock is valid here — the runner host-fetches every batch's outputs."""
+    from tvqaplus_tpu.data.synthetic import CachedDataset
     from tvqaplus_tpu.infer.predict import InferenceRunner
 
     cfg = Config(bsz=16, test_bsz=16, synthetic_data=True,
@@ -58,7 +59,9 @@ def bench_end_to_end(n_examples=256, grounding=False, li=50,
                  compute_dtype="bfloat16", use_pallas=True)
     cfg.finalize(save=False)
     model = STAGE(ModelConfig.from_config(cfg))
-    ds = SyntheticTVQADataset(cfg, n_examples, mode="valid")
+    # pre-generated examples: measure the serving system, not the synthetic
+    # generator (production reads precomputed h5 features)
+    ds = CachedDataset(SyntheticTVQADataset(cfg, n_examples, mode="valid"))
     spec = StaticShapeSpec.from_config(cfg, batch=cfg.test_bsz, max_img=li)
     arrays, _ = collate_static([ds[i] for i in range(cfg.test_bsz)], spec)
     params = model.init({"params": jax.random.PRNGKey(0)}, arrays,

@@ -58,6 +58,60 @@ class TestAttPredictions:
         assert e9["qid"] == 42 and e9["vid_name"] == "vidA"
         assert e9["word"] == 7
 
+    def test_randomized_equivalence_vs_naive(self):
+        """The hoisted/vectorized assembly must byte-match a direct
+        transcription of the reference loop (stage.py:748-806)."""
+        rng = np.random.default_rng(0)
+        B, A, Li, Lqa, Lr = 3, 5, 6, 7, 4
+        scores = rng.uniform(-1, 1, (B, A, Li, Lqa, Lr)).astype(np.float32)
+        # force score ties so sort-order differences would surface
+        scores[scores > 0.5] = 0.5
+        words = rng.integers(0, 12, (B, A, Lqa)).astype(np.int32)
+        obj_ids = {2, 3, 5, 7, 11}
+        qids = list(range(B))
+        vid_names = [f"v{b}" for b in range(B)]
+        img_indices = [list(range(1, Li * 6, 6)) for _ in range(B)]
+        boxes = [[[[float(i), 0.0, 10.0, 10.0]
+                   for i in range(int(rng.integers(0, Lr + 1)))]
+                  for _ in range(int(rng.integers(1, Li + 2)))]
+                 for _ in range(B)]
+        starts = [int(rng.integers(0, 3)) for _ in range(B)]
+
+        def naive(scores, words, obj, qids, vid_names, img_indices, boxes,
+                  starts, thd=0.2):
+            out = []
+            for b in range(len(scores)):
+                q = {}
+                for a in range(5):
+                    q[a] = []
+                    for il in range(len(boxes[b])):
+                        ig = il + starts[b]
+                        if ig >= scores.shape[2]:
+                            continue
+                        for wi, w in enumerate(words[b, a].tolist()):
+                            if w not in obj:
+                                continue
+                            rs = scores[b, a, ig, wi]
+                            nb = len(boxes[b][il])
+                            acc = np.nonzero(rs[:nb] >= thd)[0].tolist()
+                            sc = [float(rs[i]) for i in acc]
+                            bx = [boxes[b][il][i] for i in acc]
+                            order = np.argsort(sc)
+                            q[a].append({
+                                "pred": [sc[i] for i in order],
+                                "bbox": [bx[i] for i in order],
+                                "word": int(w), "qid": int(qids[b]),
+                                "vid_name": vid_names[b],
+                                "img_idx": int(img_indices[b][ig])})
+                out.append(q)
+            return out
+
+        got = get_att_predictions(scores, words, obj_ids, qids, vid_names,
+                                  img_indices, boxes, starts)
+        want = naive(scores, words, obj_ids, qids, vid_names, img_indices,
+                     boxes, starts)
+        assert got == want
+
     def test_regions_clipped_to_box_count(self):
         scores = self._scores()
         words = np.zeros((1, 5, 3), np.int32)

@@ -129,7 +129,8 @@ def zeros_batch(spec: StaticShapeSpec):
     }
 
 
-def collate_static(examples: List[dict], spec: StaticShapeSpec):
+def collate_static(examples: List[dict], spec: StaticShapeSpec,
+                   skip_att=False):
     """Assemble ragged per-example dicts into one static-shape batch.
 
     Each example dict carries (possibly ragged) fields:
@@ -137,6 +138,10 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
       sub_bert: per-image arrays (Lw, De); vid: per-image arrays (cnt, Dv);
       target, ts_label [st, ed], anno_st_idx, att_labels (dense arrays from
       labels.densify_att_labels or ragged list), plus metadata fields.
+
+    ``skip_att=True`` (inference pipelines, which exclude ATT_KEYS from the
+    upload anyway) bypasses the per-example att-entry extraction — the
+    serving path never reads it.
 
     Returns (arrays dict, meta dict).  Sequences longer than the spec are
     clipped (the reference's ``prepare_inputs`` clipping contract,
@@ -190,7 +195,7 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec):
         out["ts_ed"][b] = min(ts[1], n_img - 1) if n_img else 0
         out["ts_mask"][b, :n_img] = 1.0
         out["anno_st"][b] = ex.get("anno_st_idx", 0)
-        att = ex.get("att_labels_dense")
+        att = None if skip_att else ex.get("att_labels_dense")
         n_pos = 0
         if att is not None:
             labels, defined = att
@@ -254,15 +259,21 @@ def _collate_sub_dedup(ex, s, out, b):
     cap = s.max_sub_tokens - 1                 # slot 0 = zero token
     n_tok = min(len(stream), cap)
     out["sub_tokens"][b, 1: 1 + n_tok] = stream[:n_tok]
-    n_over = 0
-    for i, (st, ln) in enumerate(spans):
-        ln = min(int(ln), s.max_sub_l)
-        idx = int(st) + np.arange(ln)
-        ok = idx < n_tok
-        n_over += int(ln - ok.sum())
-        out["sub_win_idx"][b, i, :ln] = np.where(ok, idx + 1, 0)
-        out["sub_mask"][b, i, :ln] = ok.astype(np.float32)
-    return len(spans), n_over
+    if not spans:
+        return 0, 0
+    # all windows at once: (n, Ls) index grid, masked past each window's
+    # length and past the token capacity
+    sp = np.asarray(spans, np.int64)           # (n, 2) [start, len]
+    ln = np.minimum(sp[:, 1], s.max_sub_l)     # (n,)
+    pos = np.arange(s.max_sub_l)
+    valid = pos < ln[:, None]                  # (n, Ls)
+    idx = sp[:, :1] + pos                      # (n, Ls)
+    ok = valid & (idx < n_tok)
+    n_over = int(valid.sum() - ok.sum())
+    n = len(sp)
+    out["sub_win_idx"][b, :n] = np.where(ok, idx + 1, 0)
+    out["sub_mask"][b, :n] = ok.astype(np.float32)
+    return n, n_over
 
 
 def expand_sub_windows(arrays):

@@ -117,8 +117,9 @@ class DataPipeline:
 
     def _collate(self, examples, bucket):
         spec = self.base_spec.with_max_img(bucket)
-        arrays, meta = collate_static(examples, spec)
-        if not self.exclude_keys.intersection(ATT_KEYS):
+        skip_att = bool(self.exclude_keys.intersection(ATT_KEYS))
+        arrays, meta = collate_static(examples, spec, skip_att=skip_att)
+        if not skip_att:
             # the att loss silently truncates positives beyond
             # att_entry_cap (labels.att_entries_from_dense) — fail loudly
             # here instead, with the observed count (VERDICT r2 weak #5)

@@ -66,34 +66,45 @@ def get_att_predictions(scores, words, object_word_ids, qids, vid_names,
     for b in range(len(scores)):
         start_idx = int(start_indices[b])
         ex_boxes = boxes[b] or []
+        qid_b = int(qids[b])
+        vid_name_b = vid_names[b]
+        img_ids_b = img_indices[b]
+        # (frame, global index, image id, boxes, box count) rows that survive
+        # the reference's out-of-range guard — hoisted out of the answer loop
+        frames = []
+        for img_local in range(len(ex_boxes)):
+            img_global = img_local + start_idx
+            if img_global >= n_frames_total:
+                continue
+            cur_img_boxes = ex_boxes[img_local]
+            frames.append((img_local, img_global, int(img_ids_b[img_global]),
+                           cur_img_boxes, len(cur_img_boxes)))
         q_preds = {}
         for ans_idx in range(5):
             q_preds[ans_idx] = []
-            cur_words = words[b, ans_idx].tolist()
-            for img_local in range(len(ex_boxes)):
-                img_global = img_local + start_idx
-                if img_global >= n_frames_total:
-                    continue
-                cur_img_scores = scores[
-                    b, ans_idx, img_local if scores_local else img_global]
-                cur_img_boxes = ex_boxes[img_local]
-                for word_idx, w in enumerate(cur_words):
-                    if w not in object_word_ids:
-                        continue
-                    region_scores = cur_img_scores[word_idx]      # (Lr,)
-                    n_boxes = len(cur_img_boxes)
-                    accepted = np.nonzero(
-                        region_scores[:n_boxes] >= score_thd)[0].tolist()
-                    acc_scores = [float(region_scores[i]) for i in accepted]
-                    acc_boxes = [cur_img_boxes[i] for i in accepted]
+            # object-vocab filter runs once per answer, not once per frame
+            obj_words = [(wi, int(w))
+                         for wi, w in enumerate(words[b, ans_idx].tolist())
+                         if w in object_word_ids]
+            if not obj_words or not frames:
+                continue
+            ans_scores = scores[b, ans_idx]       # (Li or F, Lqa, Lr)
+            for img_local, img_global, img_id, cur_img_boxes, n_boxes \
+                    in frames:
+                cur_img_scores = ans_scores[
+                    img_local if scores_local else img_global]
+                for word_idx, w in obj_words:
+                    region_scores = cur_img_scores[word_idx][:n_boxes]
+                    accepted = np.nonzero(region_scores >= score_thd)[0]
+                    acc_scores = region_scores[accepted]
                     order = np.argsort(acc_scores)  # ascending (stage.py:793)
                     q_preds[ans_idx].append({
-                        "pred": [acc_scores[i] for i in order],
-                        "bbox": [acc_boxes[i] for i in order],
-                        "word": int(w),
-                        "qid": int(qids[b]),
-                        "vid_name": vid_names[b],
-                        "img_idx": int(img_indices[b][img_global]),
+                        "pred": acc_scores[order].tolist(),
+                        "bbox": [cur_img_boxes[accepted[i]] for i in order],
+                        "word": w,
+                        "qid": qid_b,
+                        "vid_name": vid_name_b,
+                        "img_idx": img_id,
                     })
         att_predictions.append(q_preds)
     return att_predictions
