@@ -51,11 +51,15 @@ def bench_end_to_end(n_examples=256, grounding=False, li=50,
     from tvqaplus_tpu.data.synthetic import CachedDataset
     from tvqaplus_tpu.infer.predict import InferenceRunner
 
+    st_cap = max(512, 512 * li // 50)
     cfg = Config(bsz=16, test_bsz=16, synthetic_data=True,
                  results_dir_base="results/bench", img_buckets=[li],
                  max_num_img=li, frame_interval=frame_interval,
-                 # unique-subtitle-token cap scales with clip length
-                 max_sub_tokens=max(512, 512 * li // 50),
+                 # unique-subtitle-token cap scales with clip length;
+                 # per-batch St buckets cut the upload (the wall on this
+                 # tunnel host, ~47 MB/s — docs/BENCH.md)
+                 max_sub_tokens=st_cap,
+                 sub_token_buckets=[st_cap // 2, st_cap * 3 // 4],
                  compute_dtype="bfloat16", use_pallas=True)
     cfg.finalize(save=False)
     model = STAGE(ModelConfig.from_config(cfg))

@@ -89,6 +89,63 @@ class TestCollate:
             list(pipe)
 
 
+class TestSubTokenBuckets:
+    def test_bucketed_batch_is_prefix_of_fixed(self, tmp_path):
+        """sub_token_buckets ships a smaller St axis whose content is
+        bit-identical to the fixed-cap batch's first St slots."""
+        cfg = small_cfg(tmp_path, max_sub_tokens=64)
+        ds = SyntheticTVQADataset(cfg, 8, mode="train")
+        fixed = DataPipeline(ds, cfg, mesh=None, batch_size=4)
+        cfg_b = small_cfg(tmp_path, max_sub_tokens=64,
+                          sub_token_buckets=[16, 32, 48])
+        bucketed = DataPipeline(ds, cfg_b, mesh=None, batch_size=4)
+        got_smaller = False
+        for (af, _, _), (ab, _, _) in zip(fixed, bucketed):
+            af = {k: np.asarray(v) for k, v in af.items()}
+            ab = {k: np.asarray(v) for k, v in ab.items()}
+            st = ab["sub_tokens"].shape[1]
+            assert st <= af["sub_tokens"].shape[1]
+            got_smaller |= st < af["sub_tokens"].shape[1]
+            np.testing.assert_array_equal(ab["sub_tokens"],
+                                          af["sub_tokens"][:, :st])
+            np.testing.assert_array_equal(ab["sub_win_idx"],
+                                          af["sub_win_idx"])
+            np.testing.assert_array_equal(ab["sub_mask"], af["sub_mask"])
+        assert got_smaller, "no batch picked a smaller St bucket"
+
+    def test_grouped_stacks_key_on_st(self, tmp_path):
+        """Same-Li batches with different St buckets must not stack into
+        one dispatch (shapes differ)."""
+        cfg = small_cfg(tmp_path, max_sub_tokens=64,
+                        sub_token_buckets=[16, 32, 48])
+
+        class TwoSizes:
+            """First 4 examples tiny streams, next 4 large ones."""
+            def __init__(self, ds):
+                self.ex = [ds[i] for i in range(8)]
+                for i in range(4):
+                    e = dict(self.ex[i])
+                    e["sub_tokens"] = e["sub_tokens"][:4]
+                    e["sub_win_spans"] = [(0, min(2, len(e["sub_tokens"])))
+                                          for _ in e["sub_win_spans"]]
+                    self.ex[i] = e
+
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                return self.ex[i]
+
+        ds = TwoSizes(SyntheticTVQADataset(cfg, 8, mode="train"))
+        pipe = DataPipeline(ds, cfg, mesh=None, batch_size=4, group=2)
+        sts = set()
+        for arrays, meta, bucket in pipe:
+            a = np.asarray(arrays["sub_tokens"])
+            # mixed-St stacking would have raised in np.stack; record shapes
+            sts.add(a.shape[-2])
+        assert len(sts) == 2, f"expected two distinct St buckets, got {sts}"
+
+
 class TestModelEquivalence:
     @pytest.mark.parametrize("add_local", [False, True])
     def test_forward_and_grads_match_expanded(self, tmp_path, add_local):

@@ -181,6 +181,14 @@ class Config:
     # pass), see docs/BENCH.md.
     merge_input_streams: bool = False
     max_sub_tokens: int = 512           # St cap (unique tokens per example)
+    # Per-batch St capacity buckets (host->device bytes are the wall on
+    # tunnel-attached hosts — measured ~47 MB/s, docs/BENCH.md): a batch
+    # whose streams need fewer unique-token slots ships the smallest bucket
+    # covering them instead of the full St cap, exactly like img_buckets on
+    # the frame axis (max_sub_tokens is always the implicit top bucket; one
+    # extra XLA variant per (Li, St) pair, compiled once ever).  Empty =
+    # fixed St (the default).
+    sub_token_buckets: List[int] = field(default_factory=list)
     max_num_proposal: int = 1           # P = max_num_proposal + 1 slots
     att_entry_cap: int = 128            # max positive att entries per example
     # dtype / kernel policy.  "auto" (the default) resolves at finalize():

@@ -13,6 +13,7 @@ Replaces the reference's fork-worker DataLoader + per-batch dynamic padding
 """
 from __future__ import annotations
 
+import dataclasses
 import queue
 import threading
 
@@ -64,6 +65,12 @@ class DataPipeline:
         self.base_spec = StaticShapeSpec.from_config(cfg, batch=batch_size)
         self.buckets = sorted(set(
             min(b, cfg.max_num_img) for b in cfg.img_buckets))
+        # per-batch St capacity buckets (see config.sub_token_buckets);
+        # only meaningful under the dedup contract
+        self.st_buckets = sorted(set(
+            min(b, self.base_spec.max_sub_tokens)
+            for b in getattr(cfg, "sub_token_buckets", [])
+        )) if self.base_spec.max_sub_tokens else []
         self._epoch = 0
 
     def __len__(self):
@@ -115,8 +122,31 @@ class DataPipeline:
             bucket = pick_bucket(n_img, self.buckets, self.cfg.max_num_img)
             yield self._collate(examples, bucket)
 
+    def _st_bucket(self, examples):
+        """Smallest St bucket covering the batch's unique-token need.
+
+        The need per example is the FIXED-cap behavior's n_tok + 1 (slot 0
+        is the reserved zero token, batching._collate_sub_dedup), so a
+        bucketed batch is bit-identical to the fixed-cap batch on its first
+        St slots — same n_tok, same window indices, same masks."""
+        cap = self.base_spec.max_sub_tokens
+        need = 1
+        for ex in examples:
+            stream = ex.get("sub_tokens")
+            if stream is not None:
+                n = len(stream)
+            else:
+                n = sum(min(len(w), self.base_spec.max_sub_l)
+                        for w in (ex.get("sub_bert") or [])[
+                            : self.base_spec.max_img])
+            need = max(need, min(n, cap - 1) + 1)
+        return next((b for b in self.st_buckets if b >= need), cap)
+
     def _collate(self, examples, bucket):
         spec = self.base_spec.with_max_img(bucket)
+        if self.st_buckets:
+            spec = dataclasses.replace(
+                spec, max_sub_tokens=self._st_bucket(examples))
         skip_att = bool(self.exclude_keys.intersection(ATT_KEYS))
         arrays, meta = collate_static(examples, spec, skip_att=skip_att)
         if not skip_att:
@@ -159,7 +189,11 @@ class DataPipeline:
         at most n_buckets*(group-1) collated batches."""
         bufs = {}
         for arrays, meta, bucket in self._batches():
-            bats, metas = bufs.setdefault(bucket, ([], []))
+            # stacks must be shape-homogeneous: key on every bucketed axis
+            # (Li, and St when sub_token_buckets is active)
+            key = (bucket, arrays["sub_tokens"].shape[1]
+                   if "sub_tokens" in arrays else 0)
+            bats, metas = bufs.setdefault(key, ([], []))
             bats.append(arrays)
             metas.append(meta)
             if len(bats) == self.group:
@@ -168,11 +202,11 @@ class DataPipeline:
                 merged = {k: sum((m[k] for m in metas), [])
                           for k in metas[0]}
                 yield stacked, merged, bucket
-                bufs.pop(bucket)
-        for bucket in sorted(bufs):
-            bats, metas = bufs[bucket]
+                bufs.pop(key)
+        for key in sorted(bufs):
+            bats, metas = bufs[key]
             for a, m in zip(bats, metas):
-                yield a, m, bucket
+                yield a, m, key[0]
 
     def _place(self, arrays, stacked=False):
         if self.mesh is not None:
