@@ -44,7 +44,8 @@ if RUN_FWD:
 
 
 def bench_end_to_end(n_examples=256, grounding=False, li=50,
-                     frame_interval=6, tag=""):
+                     frame_interval=6, tag="", qas_per_video=1,
+                     video_dedup=False):
     """Full InferenceRunner serving loop over synthetic examples: host
     collation + upload + device step + host prediction assembly.  Wall
     clock is valid here — the runner host-fetches every batch's outputs."""
@@ -60,12 +61,18 @@ def bench_end_to_end(n_examples=256, grounding=False, li=50,
                  # tunnel host, ~47 MB/s — docs/BENCH.md)
                  max_sub_tokens=st_cap,
                  sub_token_buckets=[st_cap // 2, st_cap * 3 // 4],
+                 video_dedup=video_dedup,
                  compute_dtype="bfloat16", use_pallas=True)
     cfg.finalize(save=False)
     model = STAGE(ModelConfig.from_config(cfg))
     # pre-generated examples: measure the serving system, not the synthetic
     # generator (production reads precomputed h5 features)
-    ds = CachedDataset(SyntheticTVQADataset(cfg, n_examples, mode="valid"))
+    ds = SyntheticTVQADataset(cfg, n_examples, mode="valid")
+    if qas_per_video > 1:
+        # real-data clip layout: ~7 QAs share each video (SURVEY stats)
+        from tvqaplus_tpu.data.synthetic import SharedVideoDataset
+        ds = SharedVideoDataset(ds, qas_per_video)
+    ds = CachedDataset(ds)
     spec = StaticShapeSpec.from_config(cfg, batch=cfg.test_bsz, max_img=li)
     arrays, _ = collate_static([ds[i] for i in range(cfg.test_bsz)], spec)
     params = model.init({"params": jax.random.PRNGKey(0)}, arrays,
@@ -73,18 +80,32 @@ def bench_end_to_end(n_examples=256, grounding=False, li=50,
     runner = InferenceRunner(cfg, model, params)
     obj_ids = list(range(3, 1000, 7)) if grounding else ()
     runner.run(ds, mode="valid", object_word_ids=obj_ids, debug=True)  # warm
-    t0 = time.perf_counter()
-    preds = runner.run(ds, mode="valid", object_word_ids=obj_ids)
-    dt = time.perf_counter() - t0
-    n = len(preds["ts_answer"])
+    # best of N trials: the e2e rate is tunnel-bandwidth-bound and the
+    # shared tunnel's weather swings run-to-run (measured 6.4-11.8 s for
+    # the same 256-example loop); best-of mirrors utils/timing.py
+    best, n = None, 0
+    for _ in range(int(os.environ.get("BENCH_EVAL_TRIALS", "2"))):
+        t0 = time.perf_counter()
+        preds = runner.run(ds, mode="valid", object_word_ids=obj_ids)
+        dt = time.perf_counter() - t0
+        n = len(preds["ts_answer"])
+        best = dt if best is None else min(best, dt)
     print(f"serving e2e{tag} grounding={grounding}: {n} examples in "
-          f"{dt:.2f} s -> {n / dt:.1f} qa/s", flush=True)
+          f"{best:.2f} s (best of trials) -> {n / best:.1f} qa/s",
+          flush=True)
 
 
 if RUN_QA:
     bench_end_to_end(grounding=False)
+if os.environ.get("BENCH_EVAL_VDEDUP", "1") == "1":
+    # the real-data layout (~7 QAs/clip) + batch-level video dedup: each
+    # unique clip's vid/sub_tokens upload once per batch
+    bench_end_to_end(grounding=False, qas_per_video=7, video_dedup=True,
+                     tag=" qpv=7+vdedup")
 if RUN_GROUNDING:
     bench_end_to_end(grounding=True)
+    bench_end_to_end(grounding=True, qas_per_video=7, video_dedup=True,
+                     tag=" qpv=7+vdedup")
 if os.environ.get("BENCH_EVAL_STRETCH", "0") == "1":
     # stretch config #5 (BASELINE.json): 2x frame rate (frame_interval=3)
     # -> Li=100 long clips, full batched inference incl. grounding records

@@ -189,6 +189,20 @@ class Config:
     # extra XLA variant per (Li, St) pair, compiled once ever).  Empty =
     # fixed St (the default).
     sub_token_buckets: List[int] = field(default_factory=list)
+    # Batch-level video dedup (serving).  TVQA+ has ~7 QAs per clip
+    # (SURVEY: 29.4k QAs / 4.2k train clips) and inference iterates in
+    # dataset order, so a test batch usually holds a few distinct videos:
+    # ship each unique video's `vid` and `sub_tokens` ONCE per batch
+    # (vid_u (U, Li, Lr, Dv), sub_tokens_u (U, St, De), ex_vid (B,) gather
+    # index) and expand on device at step start — the two arrays are ~80%
+    # of the upload, the serving wall on tunnel hosts.  U pads to the
+    # smallest video_buckets entry covering the batch (test_bsz is the
+    # implicit top bucket).  Identity = (vid_name, image_indices): the
+    # feature h5s key rows by vid_name alone, so equality holds by
+    # construction (tvqa_dataset.py:118-135).  Inference-only: the train
+    # loop shuffles, so batches rarely share clips.
+    video_dedup: bool = False
+    video_buckets: List[int] = field(default_factory=lambda: [4, 8])
     max_num_proposal: int = 1           # P = max_num_proposal + 1 slots
     att_entry_cap: int = 128            # max positive att entries per example
     # dtype / kernel policy.  "auto" (the default) resolves at finalize():
@@ -316,7 +330,9 @@ def _add_field_arg(parser, f):
         _BOOL_FIELDS.add(f.name)
     elif f.default_factory is not dataclasses.MISSING:  # type: ignore
         proto = f.default_factory()  # type: ignore
-        elem_t = type(proto[0]) if proto else str
+        # empty-default lists carry no element prototype; every such field
+        # is an int list (sub_token_buckets) — str lists all have defaults
+        elem_t = type(proto[0]) if proto else int
         parser.add_argument(name, nargs="+", type=elem_t, default=None)
     else:
         t = type(f.default) if f.default is not None else str

@@ -33,11 +33,12 @@ class DataPipeline:
     """Iterable over (device_batch, meta, bucket) tuples."""
 
     # large float inputs that may be cast to bf16 on host before upload
-    _BF16_KEYS = ("qas_bert", "sub_bert", "sub_tokens", "vid")
+    _BF16_KEYS = ("qas_bert", "sub_bert", "sub_tokens", "vid",
+                  "sub_tokens_u", "vid_u")
 
     def __init__(self, dataset, cfg, mesh=None, batch_size=16, shuffle=False,
                  seed=0, drop_last=False, prefetch_depth=2, group=1,
-                 exclude_keys=(), bucket_batching=True):
+                 exclude_keys=(), bucket_batching=True, video_dedup=False):
         self.dataset = dataset
         self.cfg = cfg
         self.mesh = mesh
@@ -71,6 +72,17 @@ class DataPipeline:
             min(b, self.base_spec.max_sub_tokens)
             for b in getattr(cfg, "sub_token_buckets", [])
         )) if self.base_spec.max_sub_tokens else []
+        # batch-level video dedup (config.video_dedup): unique videos'
+        # vid/sub_tokens ship once per batch + a per-example gather index;
+        # serving-only (InferenceRunner expands on device at step start).
+        # Multi-process would need per-host table offsets (each host sees
+        # different videos, but the u-tables replicate) — not supported.
+        self.video_dedup = (video_dedup
+                            and self.base_spec.max_sub_tokens > 0
+                            and jax.process_count() == 1)
+        self.video_buckets = sorted(set(
+            min(b, batch_size) for b in getattr(cfg, "video_buckets", [])
+            if b > 0)) or [batch_size]
         self._epoch = 0
 
     def __len__(self):
@@ -171,12 +183,54 @@ class DataPipeline:
                 f"(or disable --sub_dedup)")
         for k in self.exclude_keys:
             arrays.pop(k, None)
+        if self.video_dedup:
+            arrays = self._dedup_videos(arrays, meta)
         if self.cast_bf16:
             import ml_dtypes
             for k in self._BF16_KEYS:
                 if k in arrays:
                     arrays[k] = arrays[k].astype(ml_dtypes.bfloat16)
         return arrays, meta, bucket
+
+    def _dedup_videos(self, arrays, meta):
+        """Replace per-example ``vid``/``sub_tokens`` with per-unique-video
+        ``vid_u``/``sub_tokens_u`` + an ``ex_vid`` (B,) gather index
+        (config.video_dedup).  Identity = (vid_name, image_indices): the
+        feature h5s key rows by vid_name, so same-key examples carry
+        bit-identical arrays by construction (tvqa_dataset.py:118-135);
+        unnamed examples never merge.  U pads to the smallest video bucket
+        covering the batch (top bucket = batch size); batch-padding rows
+        point at a reserved all-zero video slot when capacity allows, else
+        slot 0 (their outputs are ex_mask'd either way)."""
+        n = len(meta["vid_name"])                   # real examples
+        bsz = arrays["ex_mask"].shape[0]
+        uniq, first_rows, ex_vid = {}, [], np.zeros(bsz, np.int32)
+        for i in range(n):
+            name = meta["vid_name"][i]
+            key = ((name, tuple(meta["image_indices"][i]))
+                   if name else ("", i))
+            if key not in uniq:
+                uniq[key] = len(first_rows)
+                first_rows.append(i)
+            ex_vid[i] = uniq[key]
+        need = len(first_rows) + (1 if n < bsz else 0)
+        u = next((b for b in self.video_buckets if b >= need),
+                 max(bsz, need))
+        if n < bsz:
+            ex_vid[n:] = len(first_rows)            # zero slot (fresh row)
+        out = dict(arrays)
+        swapped = False
+        for k in ("vid", "sub_tokens"):
+            if k not in out:
+                continue        # stream-subset configs (e.g. sub-only)
+            v = out.pop(k)
+            vu = np.zeros((u,) + v.shape[1:], v.dtype)
+            vu[: len(first_rows)] = v[first_rows]
+            out[k + "_u"] = vu
+            swapped = True
+        if swapped:
+            out["ex_vid"] = ex_vid
+        return out
 
     def _grouped_batches(self):
         """Stack `group` same-bucket batches along a new leading axis K
@@ -190,9 +244,10 @@ class DataPipeline:
         bufs = {}
         for arrays, meta, bucket in self._batches():
             # stacks must be shape-homogeneous: key on every bucketed axis
-            # (Li, and St when sub_token_buckets is active)
-            key = (bucket, arrays["sub_tokens"].shape[1]
-                   if "sub_tokens" in arrays else 0)
+            # (Li; St under sub_token_buckets; U under video_dedup)
+            key = (bucket,) + tuple(
+                arrays[k].shape[:2] for k in
+                ("sub_tokens", "sub_tokens_u", "vid_u") if k in arrays)
             bats, metas = bufs.setdefault(key, ([], []))
             bats.append(arrays)
             metas.append(meta)

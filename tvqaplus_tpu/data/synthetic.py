@@ -49,6 +49,50 @@ class CachedDataset:
         return getattr(self._ds, name)
 
 
+class SharedVideoDataset:
+    """QA examples share clips like the real dataset: TVQA+ averages ~7 QAs
+    per clip (SURVEY: 29.4k QAs / 4.2k train clips) and the splits iterate
+    in clip order, which is what batch-level video dedup
+    (config.video_dedup) exploits.  Example ``i`` takes every VIDEO-level
+    field from its group leader ``(i // qas_per_video) * qas_per_video``,
+    keeping its own QA fields.  Serving-bench realism adapter: the QA
+    annotations (spans, att labels) lose their planted alignment with the
+    leader's clip, so use it for throughput/format runs, not
+    training-quality tests."""
+
+    _VIDEO_FIELDS = ("vid_name", "sub_bert", "sub_tokens", "sub_win_spans",
+                     "vfeat", "image_indices")
+
+    def __init__(self, ds, qas_per_video=7):
+        self._ds = ds
+        self.g = max(1, qas_per_video)
+
+    def __len__(self):
+        return len(self._ds)
+
+    def set_mode(self, mode):
+        self._ds.set_mode(mode)
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)
+
+    def __getitem__(self, i):
+        ex = dict(self._ds[i])
+        lead_i = (i // self.g) * self.g
+        if lead_i != i:
+            lead = self._ds[lead_i]
+            for k in self._VIDEO_FIELDS:
+                if k in lead:
+                    ex[k] = lead[k]
+            # clamp this QA's annotations to the leader clip's frame count
+            n_img = len(lead["image_indices"])
+            st, ed = ex["ts_label"]
+            ed = min(ed, n_img - 1)
+            ex["ts_label"] = [min(st, ed), ed]
+            ex["boxes"] = ex["boxes"][:n_img]
+        return ex
+
+
 class SyntheticTVQADataset:
     """Generates reference-structured examples deterministically by index."""
 

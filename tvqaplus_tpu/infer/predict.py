@@ -124,7 +124,24 @@ class InferenceRunner:
         self.params = params
         self.mesh = mesh
 
+        def expand_video_dedup(batch):
+            """Per-unique-video uploads -> per-example arrays (one device
+            gather; config.video_dedup).  The pipeline ships vid_u
+            (U, Li, Lr, Dv) / sub_tokens_u (U, St, De) once per batch with
+            ex_vid (B,) pointing each example at its clip — the expansion
+            costs one HBM pass instead of re-uploading duplicate clips
+            through the host link (the serving wall, docs/BENCH.md)."""
+            if "ex_vid" not in batch:
+                return batch
+            batch = dict(batch)
+            gi = batch.pop("ex_vid")
+            for k in ("vid", "sub_tokens"):
+                if k + "_u" in batch:
+                    batch[k] = jnp.take(batch.pop(k + "_u"), gi, axis=0)
+            return batch
+
         def infer_step(params, batch, with_grounding, f_max):
+            batch = expand_video_dedup(batch)
             out = model.apply({"params": params}, batch, train=False,
                               need_sub_raw=False,
                               need_vid_raw=with_grounding)
@@ -172,7 +189,9 @@ class InferenceRunner:
                                 prefetch_depth=self.cfg.prefetch_depth,
                                 group=group,
                                 # training-only tensors: skip the upload
-                                exclude_keys=ATT_KEYS)
+                                exclude_keys=ATT_KEYS,
+                                video_dedup=getattr(
+                                    self.cfg, "video_dedup", False))
         predictions = {"ts_answer": {}, "raw_bbox": []}
         with_grounding = bool(object_word_ids) and self.cfg.vfeat_flag
         # annotated-window size for the device-side grounding gather.

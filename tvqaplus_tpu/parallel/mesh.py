@@ -40,6 +40,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _LI_KEYS = ("sub_bert", "sub_win_idx", "sub_mask", "vid", "vid_mask",
             "ts_mask")
 
+# video-dedup uploads (config.video_dedup): leading dim is the
+# unique-video slot axis U, not the batch — every data shard's ex_vid
+# indexes the same global table, so the tables replicate (serving-only
+# arrays; U is a few slots of bf16, replication is cheaper than the
+# gather collective a U-shard would need)
+_REPLICATED_KEYS = ("vid_u", "sub_tokens_u")
+
 
 def make_mesh(mesh_shape=(-1, 1), devices=None):
     """Create a ("data", "ctx") mesh — or ("data", "ctx", "model") from a
@@ -164,7 +171,9 @@ def batch_shardings(mesh, batch, stacked=False):
     out = {}
     for k, v in batch.items():
         ndim_min = (3, 2) if stacked else (2, 1)
-        if k in _LI_KEYS and np.ndim(v) >= ndim_min[0]:
+        if k in _REPLICATED_KEYS:
+            spec = P()
+        elif k in _LI_KEYS and np.ndim(v) >= ndim_min[0]:
             spec = P(*lead, "data", "ctx")
         elif np.ndim(v) >= ndim_min[1]:
             spec = P(*lead, "data")
