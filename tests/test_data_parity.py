@@ -176,3 +176,36 @@ def test_dissect_by_lengths_fuzz(ref):
         ours_chunks = dissect_by_lengths(arr, lens)
         for a, b in zip(ref_chunks, ours_chunks):
             np.testing.assert_array_equal(a, b)
+
+
+def test_mk_noun_mask_fuzz(ref):
+    """make_noun_mask vs the reference's TVQADataset.mk_noun_mask
+    (tvqa_dataset.py:310-328), including OOV dropping and the eos slot."""
+    import types as _types
+    from tvqaplus_tpu.data.labels import make_noun_mask
+
+    vocab_words = ["cup", "couch", "sheldon", "table", "door"]
+    fake_self = _types.SimpleNamespace(
+        word2idx={w: i for i, w in enumerate(vocab_words)})
+    oov = ["zzzq", "blorp"]
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        q_l = int(rng.integers(2, 12))
+        a_l = int(rng.integers(1, 8))
+        eos = bool(rng.integers(0, 2))
+
+        def draw(n_max, limit):
+            out = []
+            for _ in range(int(rng.integers(0, n_max))):
+                pos = int(rng.integers(1, limit + 1))
+                word = (vocab_words + oov)[int(rng.integers(0, 7))]
+                out.append([pos, word.upper() if rng.integers(0, 2)
+                            else word])
+            return out
+
+        nq, na = draw(4, q_l), draw(3, a_l)
+        ref_mask = ref.ds.TVQADataset.mk_noun_mask(
+            fake_self, nq, na, q_l, a_l, eos=eos)
+        ours = make_noun_mask(nq, na, q_l, a_l,
+                              fake_self.word2idx, eos=eos)
+        np.testing.assert_array_equal(np.asarray(ref_mask), ours)

@@ -212,3 +212,48 @@ class TestTVQAPlusDataset:
         assert len(valid) == 1 and len(ds) == 2
         valid.set_mode("train")
         assert ds.mode == "train" and len(valid) == 2
+
+    def test_vcpt_stream_batch_keys(self, artifacts):
+        """With the vcpt input stream requested, the dormant vcpt/vcpt_mask
+        batch keys ship (reference pad_collate tvqa_dataset.py:600-605) in
+        the hier layout: last word of each region's label per frame."""
+        cfg = make_cfg(artifacts, input_streams=["sub", "vfeat", "vcpt"])
+        assert cfg.vcpt_flag
+        ds = TVQAPlusDataset(cfg, mode="train")
+        ex = ds[0]
+        assert "vcpt" in ex and len(ex["vcpt"]) == len(ex["image_indices"])
+        spec = StaticShapeSpec.from_config(cfg, batch=2, max_img=10)
+        assert spec.vcpt
+        arrays, _ = collate_static([ds[0], ds[1]], spec)
+        assert arrays["vcpt"].shape == (2, 10, cfg.num_region)
+        assert arrays["vcpt"].dtype == np.int32
+        assert arrays["vcpt_mask"].sum() > 0
+        # first frame's first region label word id round-trips
+        first_ids = ex["vcpt"][0]
+        np.testing.assert_array_equal(
+            arrays["vcpt"][0, 0, : len(first_ids)], first_ids)
+        # default streams: the keys are absent (no dead upload)
+        spec0 = StaticShapeSpec.from_config(make_cfg(artifacts), batch=2,
+                                            max_img=10)
+        arrays0, _ = collate_static([ds[0]], spec0)
+        assert "vcpt" not in arrays0
+
+    def test_mk_noun_mask_collates(self, artifacts):
+        """Entries carrying noun annotations produce the qa_noun_masks
+        batch key (labels.make_noun_mask -> structured_attention)."""
+        cfg = make_cfg(artifacts)
+        ds = TVQAPlusDataset(cfg, mode="train")
+        entry = dict(ds.cur_data[0])
+        entry["q_noun_indices"] = [[3, "sheldon"], [1, "zzznotinvocab"]]
+        entry["a1_noun_indices"] = [[2, "laptop"]]
+        ds.cur_data = [entry]
+        ex = ds[0]
+        assert "qa_noun_masks" in ex and len(ex["qa_noun_masks"]) == 5
+        # q noun at 1-indexed 3 -> position 2; a1 noun at q_len+2-1 = 5
+        assert ex["qa_noun_masks"][1][2] == 1.0
+        assert ex["qa_noun_masks"][1][5] == 1.0
+        assert ex["qa_noun_masks"][0][5] == 0.0  # a0 has no noun entry
+        spec = StaticShapeSpec.from_config(cfg, batch=1, max_img=10)
+        arrays, _ = collate_static([ex], spec)
+        assert arrays["qa_noun_masks"].shape == (1, 5, cfg.max_qa_l)
+        assert arrays["qa_noun_masks"][0, 1, 2] == 1.0

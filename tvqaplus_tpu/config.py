@@ -317,6 +317,21 @@ class Config:
                     max_vcpt_l=self.max_vcpt_l, max_qa_l=self.max_qa_l)
 
 
+def _list_elem_type(annotation):
+    """Element type of a List[...] dataclass annotation.  Annotations are
+    strings under ``from __future__ import annotations`` — parse both
+    forms; None when the element type isn't a plain builtin."""
+    if not isinstance(annotation, str):
+        import typing
+        args = typing.get_args(annotation)
+        return args[0] if args and args[0] in (int, float, str) else None
+    inner = annotation.strip()
+    if inner.startswith(("List[", "list[")):
+        inner = inner[5:-1].strip()
+        return {"int": int, "float": float, "str": str}.get(inner)
+    return None
+
+
 def _add_field_arg(parser, f):
     name = "--" + f.name
     if f.name in _TRISTATE_BOOL_FIELDS:
@@ -330,9 +345,9 @@ def _add_field_arg(parser, f):
         _BOOL_FIELDS.add(f.name)
     elif f.default_factory is not dataclasses.MISSING:  # type: ignore
         proto = f.default_factory()  # type: ignore
-        # empty-default lists carry no element prototype; every such field
-        # is an int list (sub_token_buckets) — str lists all have defaults
-        elem_t = type(proto[0]) if proto else int
+        # element type from the annotation (List[int] / List[str]) so
+        # empty-default lists parse correctly; prototype as fallback
+        elem_t = _list_elem_type(f.type) or (type(proto[0]) if proto else int)
         parser.add_argument(name, nargs="+", type=elem_t, default=None)
     else:
         t = type(f.default) if f.default is not None else str

@@ -172,6 +172,27 @@ def att_entries_from_dense(labels, defined, entry_cap):
     return entry_idx, entry_valid, neg_rows, rank, group_npos, len(flat_all)
 
 
+def make_noun_mask(noun_indices_q, noun_indices_a, q_l, a_l, vocab,
+                   eos=True):
+    """Noun-position mask over the q+ca word axis (reference
+    tvqa_dataset.py:310-328 ``mk_noun_mask``).
+
+    ``noun_indices_q`` / ``noun_indices_a``: lists of [1-indexed position,
+    word]; entries whose word is not in the vocabulary are dropped, answer
+    positions are offset by ``q_l``, and the mask gets one trailing slot
+    for <eos> when ``eos``.  Dormant in the reference (stage.py:248,269
+    always pass noun_mask=None) but part of the documented surface — the
+    result feeds ``structured_attention``'s ``noun_mask`` argument.
+    """
+    iq = [e[0] for e in noun_indices_q if str(e[1]).lower() in vocab]
+    ia = [e[0] + q_l for e in noun_indices_a if str(e[1]).lower() in vocab]
+    indices = np.array(iq + ia) - 1
+    mask = np.zeros(q_l + a_l + 1 if eos else q_l + a_l, np.float32)
+    if len(indices) != 0:  # seems only 1 instance has no indices (ref)
+        mask[indices.astype(np.int64)] = 1
+    return mask
+
+
 def line_to_words(line, eos=True, downcase=True):
     words = line.lower().split() if downcase else line.split()
     return words + [EOS] if eos else words

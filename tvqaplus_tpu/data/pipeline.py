@@ -34,7 +34,7 @@ class DataPipeline:
 
     # large float inputs that may be cast to bf16 on host before upload
     _BF16_KEYS = ("qas_bert", "sub_bert", "sub_tokens", "vid",
-                  "sub_tokens_u", "vid_u")
+                  "sub_tokens_u", "vid_u", "sub_bert_u")
 
     def __init__(self, dataset, cfg, mesh=None, batch_size=16, shuffle=False,
                  seed=0, drop_last=False, prefetch_depth=2, group=1,
@@ -73,13 +73,19 @@ class DataPipeline:
             for b in getattr(cfg, "sub_token_buckets", [])
         )) if self.base_spec.max_sub_tokens else []
         # batch-level video dedup (config.video_dedup): unique videos'
-        # vid/sub_tokens ship once per batch + a per-example gather index;
-        # serving-only (InferenceRunner expands on device at step start).
-        # Multi-process would need per-host table offsets (each host sees
-        # different videos, but the u-tables replicate) — not supported.
-        self.video_dedup = (video_dedup
-                            and self.base_spec.max_sub_tokens > 0
-                            and jax.process_count() == 1)
+        # vid/sub_tokens/sub_bert ship once per batch + a per-example
+        # gather index; serving-only (InferenceRunner expands on device at
+        # step start).  Works for every stream layout (_dedup_videos skips
+        # absent keys).  Multi-process would need per-host table offsets
+        # (each host sees different videos, but the u-tables replicate) —
+        # not supported: requesting it there is a loud config error, not a
+        # silent no-op (ADVICE r4).
+        if video_dedup and jax.process_count() > 1:
+            raise ValueError(
+                "video_dedup is single-process only (the per-batch unique-"
+                "video tables replicate; multi-process would need per-host "
+                "offsets) — disable --video_dedup for multihost runs")
+        self.video_dedup = video_dedup
         self.video_buckets = sorted(set(
             min(b, batch_size) for b in getattr(cfg, "video_buckets", [])
             if b > 0)) or [batch_size]
@@ -220,7 +226,7 @@ class DataPipeline:
             ex_vid[n:] = len(first_rows)            # zero slot (fresh row)
         out = dict(arrays)
         swapped = False
-        for k in ("vid", "sub_tokens"):
+        for k in ("vid", "sub_tokens", "sub_bert"):
             if k not in out:
                 continue        # stream-subset configs (e.g. sub-only)
             v = out.pop(k)
@@ -247,7 +253,8 @@ class DataPipeline:
             # (Li; St under sub_token_buckets; U under video_dedup)
             key = (bucket,) + tuple(
                 arrays[k].shape[:2] for k in
-                ("sub_tokens", "sub_tokens_u", "vid_u") if k in arrays)
+                ("sub_tokens", "sub_tokens_u", "vid_u", "sub_bert_u")
+                if k in arrays)
             bats, metas = bufs.setdefault(key, ([], []))
             bats.append(arrays)
             metas.append(meta)

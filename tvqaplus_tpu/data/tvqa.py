@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 
 from tvqaplus_tpu.data.labels import Vocabulary, build_iou_data, \
-    densify_att_labels, make_att_label
+    densify_att_labels, make_att_label, make_noun_mask
 from tvqaplus_tpu.data.sampling import get_aligned_sub, \
     get_aligned_sub_indices, get_all_img_ids, get_ts_label
 from tvqaplus_tpu.utils.io import load_json, load_pickle
@@ -142,6 +142,13 @@ class TVQAPlusDataset:
             best = max(best, end_idx - start_idx + 1)
         return best
 
+    def mk_noun_mask(self, noun_indices_q, noun_indices_a, q_l, a_l,
+                     eos=True):
+        """Noun-position mask over q+ca words (reference
+        tvqa_dataset.py:310-328); see labels.make_noun_mask."""
+        return make_noun_mask(noun_indices_q, noun_indices_a, q_l, a_l,
+                              self.vocab, eos=eos)
+
     # ------------------------------------------------------------------
     def __getitem__(self, index):
         cfg = self.cfg
@@ -182,6 +189,16 @@ class TVQAPlusDataset:
         answer_keys = ["a0", "a1", "a2", "a3", "a4"]
         items["qas"] = [self.vocab.numericalize(
             entry["q"] + " " + entry[k], eos=False) for k in answer_keys]
+        if "q_noun_indices" in entry:
+            # optional noun annotations ([1-indexed pos, word] lists per
+            # sentence) -> per-answer noun masks over the q+ca word axis
+            # (reference mk_noun_mask, tvqa_dataset.py:310-328; the eos=True
+            # slot matches the qas_bert concat length q_len + a_len + 1)
+            items["qa_noun_masks"] = [
+                self.mk_noun_mask(entry["q_noun_indices"],
+                                  entry.get(f"{k}_noun_indices", []),
+                                  entry["q_len"], entry[f"{k}_len"])
+                for k in answer_keys]
         items["qas_bert"] = [np.concatenate(
             [self.qa_bert_h5[f"{qid}_q"], self.qa_bert_h5[f"{qid}_{k}"]],
             axis=0) for k in answer_keys]

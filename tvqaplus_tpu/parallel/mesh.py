@@ -45,7 +45,7 @@ _LI_KEYS = ("sub_bert", "sub_win_idx", "sub_mask", "vid", "vid_mask",
 # indexes the same global table, so the tables replicate (serving-only
 # arrays; U is a few slots of bf16, replication is cheaper than the
 # gather collective a U-shard would need)
-_REPLICATED_KEYS = ("vid_u", "sub_tokens_u")
+_REPLICATED_KEYS = ("vid_u", "sub_tokens_u", "sub_bert_u")
 
 
 def make_mesh(mesh_shape=(-1, 1), devices=None):
