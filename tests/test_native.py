@@ -57,3 +57,55 @@ def test_pairwise_iou_matches_numpy():
     nat = native.pairwise_iou(a, b)
     ref = np_pairwise(a, b)
     np.testing.assert_allclose(nat, ref, rtol=1e-12)
+
+
+def test_att_entries_matches_python():
+    """C att_entries vs labels.att_entries_from_dense (the python path it
+    replaces in collate_static), including clipping and the cap."""
+    from tvqaplus_tpu.data.labels import att_entries_from_dense
+    rng = np.random.default_rng(2)
+    for _ in range(25):
+        sli, slw, slr = (int(rng.integers(1, 9)) for _ in range(3))
+        li, lw, lr = (int(rng.integers(2, 9)) for _ in range(3))
+        cap = int(rng.integers(1, 20))
+        labels = (rng.random((sli, slw, slr)) < 0.15).astype(np.float32)
+        defined = (rng.random((sli, slw, slr)) < 0.6).astype(np.float32)
+        # python oracle: clip into the spec window, then extract
+        dl = np.zeros((li, lw, lr), np.float32)
+        dd = np.zeros_like(dl)
+        wi, ww, wr = min(sli, li), min(slw, lw), min(slr, lr)
+        dl[:wi, :ww, :wr] = labels[:wi, :ww, :wr]
+        dd[:wi, :ww, :wr] = defined[:wi, :ww, :wr]
+        ref = att_entries_from_dense(dl, dd, cap)
+        got = (np.zeros(cap, np.int32), np.zeros(cap, np.float32),
+               np.zeros((cap, lr), np.float32), np.zeros(cap, np.int32),
+               np.zeros(cap, np.float32))
+        n_pos = native.att_entries(labels, defined, (li, lw, lr), cap, *got)
+        assert n_pos == ref[5]
+        for g, r in zip(got, ref[:5]):
+            np.testing.assert_array_equal(g, r.astype(g.dtype))
+
+
+def test_fill_sub_windows_matches_numpy():
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        n = int(rng.integers(1, 8))
+        ls = int(rng.integers(1, 10))
+        n_tok = int(rng.integers(1, 30))
+        spans = np.stack([rng.integers(0, 25, n),
+                          rng.integers(0, 14, n)], axis=1).astype(np.int64)
+        # numpy oracle (batching fallback path)
+        ln = np.minimum(spans[:, 1], ls)
+        pos = np.arange(ls)
+        valid = pos < ln[:, None]
+        idx = spans[:, :1] + pos
+        ok = valid & (idx < n_tok)
+        exp_idx = np.where(ok, idx + 1, 0).astype(np.int32)
+        exp_mask = ok.astype(np.float32)
+        exp_over = int(valid.sum() - ok.sum())
+        win = np.zeros((n, ls), np.int32)
+        mask = np.zeros((n, ls), np.float32)
+        over = native.fill_sub_windows(spans, ls, n_tok, win, mask)
+        assert over == exp_over
+        np.testing.assert_array_equal(win, exp_idx)
+        np.testing.assert_array_equal(mask, exp_mask)

@@ -238,3 +238,43 @@ class TestModelEquivalence:
             np.testing.assert_allclose(np.asarray(out_d[k]),
                                        np.asarray(out_e[k]),
                                        rtol=1e-6, atol=1e-6)
+
+
+class TestMergedFusedKernel:
+    def test_merged_fused_equals_separate_xla(self, tmp_path):
+        """merge_input_streams + use_pallas (the merged site on the fused
+        encoder kernel, zero_mask in-kernel; interpret mode on CPU) ==
+        the separate-stream XLA path, eval outputs + train gradients."""
+        cfg = small_cfg(tmp_path)
+        dedup, _, _, _ = _both_batches(cfg)
+        mc = dataclasses.replace(ModelConfig.from_config(cfg), dropout=0.0)
+        m_fused = STAGE(dataclasses.replace(mc, merge_input_streams=True,
+                                            use_pallas=True))
+        m_off = STAGE(dataclasses.replace(mc, merge_input_streams=False,
+                                          use_pallas=False))
+        params = m_off.init({"params": jax.random.PRNGKey(0)}, dedup,
+                            train=False)["params"]
+        out_f = m_fused.apply({"params": params}, dedup, train=False)
+        out_o = m_off.apply({"params": params}, dedup, train=False)
+        for k in ("answer_scores", "t_scores", "sub_raw_s", "vid_raw_s"):
+            np.testing.assert_allclose(np.asarray(out_f[k]),
+                                       np.asarray(out_o[k]),
+                                       rtol=5e-4, atol=5e-4, err_msg=k)
+
+        def loss_fn(model):
+            def f(p):
+                out = model.apply({"params": p}, dedup, train=True,
+                                  rngs={"dropout": jax.random.PRNGKey(1)})
+                loss, _ = losses.total_loss(
+                    out, dedup, jax.random.PRNGKey(2), use_sup_att=True,
+                    entry_cap=cfg.att_entry_cap, train=True)
+                return loss
+            return f
+
+        l_f, g_f = jax.value_and_grad(loss_fn(m_fused))(params)
+        l_o, g_o = jax.value_and_grad(loss_fn(m_off))(params)
+        np.testing.assert_allclose(float(l_f), float(l_o), rtol=1e-4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+            g_f, g_o)

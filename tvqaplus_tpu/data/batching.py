@@ -59,6 +59,7 @@ class StaticShapeSpec:
     vfeat_dim: int = 300
     max_sub_tokens: int = 0   # >0: dedup contract (sub_tokens+sub_win_idx)
     att_entry_cap: int = 128  # E: static positive-entry slots (labels.py)
+    vcpt: bool = False        # ship the (dormant) vcpt word-id batch keys
 
     @classmethod
     def from_config(cls, cfg, batch=None, max_img=None):
@@ -72,7 +73,8 @@ class StaticShapeSpec:
                    bert_dim=cfg.embedding_size,
                    vfeat_dim=cfg.vfeat_size,
                    max_sub_tokens=cfg.max_sub_tokens if dedup else 0,
-                   att_entry_cap=cfg.att_entry_cap)
+                   att_entry_cap=cfg.att_entry_cap,
+                   vcpt=cfg.vcpt_flag)
 
     def with_max_img(self, max_img):
         return dataclasses.replace(self, max_img=max_img)
@@ -126,6 +128,13 @@ def zeros_batch(spec: StaticShapeSpec):
         "att_n_pos": np.zeros((s.batch,), np.float32),
         "anno_st": np.zeros((s.batch,), np.int32),
         "ex_mask": np.zeros((s.batch,), np.float32),
+        # vcpt word ids: shipped-but-never-read in the reference
+        # (pad_collate tvqa_dataset.py:600-605; the model reads only the
+        # region FEATURES) — the surface is kept when the vcpt stream is
+        # requested, at the hier layout (per-frame per-region last words)
+        **({"vcpt": np.zeros((s.batch, s.max_img, s.num_region), np.int32),
+            "vcpt_mask": np.zeros((s.batch, s.max_img, s.num_region),
+                                  np.float32)} if s.vcpt else {}),
     }
 
 
@@ -170,6 +179,21 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec,
         native.pad_batch(ex["qas_bert"], s.max_qa_l, s.bert_dim,
                          out=out["qas_bert"][b], mask=None)
         out["q_l"][b] = ex.get("q_l", 0)
+        if ex.get("qa_noun_masks") is not None:
+            # optional noun-position masks (labels.make_noun_mask) ->
+            # structured_attention's noun_mask input
+            if "qa_noun_masks" not in out:
+                out["qa_noun_masks"] = np.zeros(
+                    (s.batch, s.num_a, s.max_qa_l), np.float32)
+            for a in range(s.num_a):
+                m = np.asarray(ex["qa_noun_masks"][a],
+                               np.float32)[: s.max_qa_l]
+                out["qa_noun_masks"][b, a, : len(m)] = m
+        if s.vcpt and ex.get("vcpt") is not None:
+            for i, frame_ids in enumerate(ex["vcpt"][: s.max_img]):
+                ids = np.asarray(frame_ids, np.int32)[: s.num_region]
+                out["vcpt"][b, i, : len(ids)] = ids
+                out["vcpt_mask"][b, i, : len(ids)] = 1.0
         # --- subtitles ----------------------------------------------------
         if s.max_sub_tokens:
             n_sub, n_over = _collate_sub_dedup(ex, s, out, b)
@@ -199,19 +223,27 @@ def collate_static(examples: List[dict], spec: StaticShapeSpec,
         n_pos = 0
         if att is not None:
             labels, defined = att
-            li = min(labels.shape[0], s.max_img)
-            lw = min(labels.shape[1], s.max_qa_l)
-            lr = min(labels.shape[2], s.num_region)
-            dl = np.zeros((s.max_img, s.max_qa_l, s.num_region), np.float32)
-            dd = np.zeros_like(dl)
-            dl[:li, :lw, :lr] = labels[:li, :lw, :lr]
-            dd[:li, :lw, :lr] = defined[:li, :lw, :lr]
             # n_pos = positives BEFORE the cap: the pipeline asserts on it
-            # so an att_entry_cap overflow is loud
-            (out["att_entry_idx"][b], out["att_entry_valid"][b],
-             out["att_neg_rows"][b], out["att_entry_rank"][b],
-             out["att_group_npos"][b], n_pos) = att_entries_from_dense(
-                dl, dd, s.att_entry_cap)
+            # so an att_entry_cap overflow is loud.  C fast path writes the
+            # pre-zeroed slices directly (no intermediate dense copies)
+            n_pos = native.att_entries(
+                labels, defined, (s.max_img, s.max_qa_l, s.num_region),
+                s.att_entry_cap, out["att_entry_idx"][b],
+                out["att_entry_valid"][b], out["att_neg_rows"][b],
+                out["att_entry_rank"][b], out["att_group_npos"][b])
+            if n_pos is None:  # no C library: dense-copy python path
+                li = min(labels.shape[0], s.max_img)
+                lw = min(labels.shape[1], s.max_qa_l)
+                lr = min(labels.shape[2], s.num_region)
+                dl = np.zeros((s.max_img, s.max_qa_l, s.num_region),
+                              np.float32)
+                dd = np.zeros_like(dl)
+                dl[:li, :lw, :lr] = labels[:li, :lw, :lr]
+                dd[:li, :lw, :lr] = defined[:li, :lw, :lr]
+                (out["att_entry_idx"][b], out["att_entry_valid"][b],
+                 out["att_neg_rows"][b], out["att_entry_rank"][b],
+                 out["att_group_npos"][b], n_pos) = att_entries_from_dense(
+                    dl, dd, s.att_entry_cap)
             out["att_n_pos"][b] = n_pos
         # --- metadata --------------------------------------------------------
         meta["qid"].append(ex.get("qid", b))
@@ -261,18 +293,23 @@ def _collate_sub_dedup(ex, s, out, b):
     out["sub_tokens"][b, 1: 1 + n_tok] = stream[:n_tok]
     if not spans:
         return 0, 0
-    # all windows at once: (n, Ls) index grid, masked past each window's
-    # length and past the token capacity
-    sp = np.asarray(spans, np.int64)           # (n, 2) [start, len]
-    ln = np.minimum(sp[:, 1], s.max_sub_l)     # (n,)
-    pos = np.arange(s.max_sub_l)
-    valid = pos < ln[:, None]                  # (n, Ls)
-    idx = sp[:, :1] + pos                      # (n, Ls)
-    ok = valid & (idx < n_tok)
-    n_over = int(valid.sum() - ok.sum())
-    n = len(sp)
-    out["sub_win_idx"][b, :n] = np.where(ok, idx + 1, 0)
-    out["sub_mask"][b, :n] = ok.astype(np.float32)
+    n = len(spans)
+    from tvqaplus_tpu import native
+    n_over = native.fill_sub_windows(
+        np.asarray(spans, np.int64), s.max_sub_l, n_tok,
+        out["sub_win_idx"][b, :n], out["sub_mask"][b, :n])
+    if n_over is None:
+        # numpy fallback: all windows at once — (n, Ls) index grid, masked
+        # past each window's length and past the token capacity
+        sp = np.asarray(spans, np.int64)       # (n, 2) [start, len]
+        ln = np.minimum(sp[:, 1], s.max_sub_l)  # (n,)
+        pos = np.arange(s.max_sub_l)
+        valid = pos < ln[:, None]              # (n, Ls)
+        idx = sp[:, :1] + pos                  # (n, Ls)
+        ok = valid & (idx < n_tok)
+        n_over = int(valid.sum() - ok.sum())
+        out["sub_win_idx"][b, :n] = np.where(ok, idx + 1, 0)
+        out["sub_mask"][b, :n] = ok.astype(np.float32)
     return n, n_over
 
 

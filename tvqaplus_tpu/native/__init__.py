@@ -56,6 +56,13 @@ def get_lib():
     lib.pairwise_iou_plus1.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_void_p]
+    lib.att_entries_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p] + \
+        [ctypes.c_int32] * 7 + [ctypes.c_void_p] * 5
+    lib.att_entries_f32.restype = ctypes.c_int32
+    lib.fill_sub_windows.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.fill_sub_windows.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -108,6 +115,43 @@ def iou_one_vs_many(gt_box, det_boxes):
     lib.iou_xyxy_plus1(gt.ctypes.data, dets.ctypes.data, len(dets),
                        out.ctypes.data)
     return out
+
+
+def att_entries(labels, defined, spec_dims, cap, entry_idx, entry_valid,
+                neg_rows, rank, group_npos):
+    """Dense att labels -> static entry arrays, clipped to ``spec_dims``
+    (li, lw, lr), written into pre-zeroed output slices; returns the total
+    positive count (pre-cap) — or None when the library is unavailable
+    (caller falls back to labels.att_entries_from_dense)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    labels = np.ascontiguousarray(labels, np.float32)
+    defined = np.ascontiguousarray(defined, np.float32)
+    assert labels.shape == defined.shape and labels.ndim == 3
+    outs = (entry_idx, entry_valid, neg_rows, rank, group_npos)
+    if not all(o.flags.c_contiguous for o in outs):
+        return None
+    li, lw, lr = spec_dims
+    return lib.att_entries_f32(
+        labels.ctypes.data, defined.ctypes.data,
+        labels.shape[0], labels.shape[1], labels.shape[2],
+        li, lw, lr, cap,
+        entry_idx.ctypes.data, entry_valid.ctypes.data,
+        neg_rows.ctypes.data, rank.ctypes.data, group_npos.ctypes.data)
+
+
+def fill_sub_windows(spans, ls, n_tok, win_idx, mask):
+    """Per-frame (start, len) token spans -> window gather indices + mask
+    (pre-zeroed (n, ls) slices); returns the overflow-token count — or None
+    when the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not (win_idx.flags.c_contiguous
+                           and mask.flags.c_contiguous):
+        return None
+    spans = np.ascontiguousarray(spans, np.int64).reshape(-1, 2)
+    return lib.fill_sub_windows(spans.ctypes.data, len(spans), ls, n_tok,
+                                win_idx.ctypes.data, mask.ctypes.data)
 
 
 def pairwise_iou(a, b):

@@ -89,3 +89,76 @@ void pairwise_iou_plus1(const double *a, int32_t n, const double *b,
         }
     }
 }
+
+/* Supervised-attention entry extraction (labels.att_entries_from_dense):
+ * dense (sli, slw, slr) labels+defined -> the static att-loss entry arrays,
+ * clipped to the spec window (li, lw, lr).  One pass, no intermediate
+ * (max_img, max_qa_l, num_region) dense copies (the python path zeroes and
+ * fills two ~200 KB arrays per example before extracting).  Output arrays
+ * must be pre-zeroed (they are zeros_batch slices).  Returns the TOTAL
+ * positive count before the cap (the pipeline's overflow guard input). */
+int32_t att_entries_f32(const float *labels, const float *defined,
+                        int32_t sli, int32_t slw, int32_t slr,
+                        int32_t li, int32_t lw, int32_t lr, int32_t cap,
+                        int32_t *entry_idx, float *entry_valid,
+                        float *neg_rows, int32_t *rank, float *group_npos) {
+    int32_t wi = sli < li ? sli : li;
+    int32_t ww = slw < lw ? slw : lw;
+    int32_t wr = slr < lr ? slr : lr;
+    int32_t n_pos = 0;
+    for (int32_t i = 0; i < wi; ++i) {
+        for (int32_t w = 0; w < ww; ++w) {
+            const float *lab = labels + ((size_t)i * slw + w) * slr;
+            const float *def = defined + ((size_t)i * slw + w) * slr;
+            int32_t npos_row = 0;
+            for (int32_t r = 0; r < wr; ++r)
+                if (lab[r] > 0.0f && def[r] > 0.0f) ++npos_row;
+            if (!npos_row) continue;
+            int32_t rank_row = 0;
+            for (int32_t r = 0; r < wr; ++r) {
+                if (!(lab[r] > 0.0f && def[r] > 0.0f)) continue;
+                if (n_pos < cap) {
+                    int32_t e = n_pos;
+                    entry_idx[e] = ((i * lw) + w) * lr + r;
+                    entry_valid[e] = 1.0f;
+                    rank[e] = rank_row;
+                    group_npos[e] = (float)npos_row;
+                    float *nrow = neg_rows + (size_t)e * lr;
+                    for (int32_t r2 = 0; r2 < wr; ++r2)
+                        nrow[r2] = (lab[r2] == 0.0f && def[r2] > 0.0f)
+                                       ? 1.0f : 0.0f;
+                }
+                ++rank_row;
+                ++n_pos;
+            }
+        }
+    }
+    return n_pos;
+}
+
+/* Dedup subtitle window-index fill (batching._collate_sub_dedup): per-frame
+ * (start, len) spans -> gather indices into the unique-token stream
+ * (+1 for the reserved zero slot; 0 past the window length or the token
+ * capacity) and the window mask.  Outputs pre-zeroed (n, ls) slices.
+ * Returns the overflow-token count (tokens beyond n_tok capacity). */
+int32_t fill_sub_windows(const int64_t *spans, int32_t n, int32_t ls,
+                         int32_t n_tok, int32_t *win_idx, float *mask) {
+    int32_t n_over = 0;
+    for (int32_t i = 0; i < n; ++i) {
+        int64_t start = spans[2 * i];
+        int64_t len = spans[2 * i + 1];
+        if (len > ls) len = ls;
+        int32_t *wrow = win_idx + (size_t)i * ls;
+        float *mrow = mask + (size_t)i * ls;
+        for (int64_t p = 0; p < len; ++p) {
+            int64_t tok = start + p;
+            if (tok < n_tok) {
+                wrow[p] = (int32_t)tok + 1;
+                mrow[p] = 1.0f;
+            } else {
+                ++n_over;
+            }
+        }
+    }
+    return n_over;
+}
