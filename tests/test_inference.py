@@ -122,3 +122,58 @@ class TestAttPredictions:
             scores, words, {7}, [1], ["v"], [[3, 9]], boxes, [0])
         e9 = [e for e in preds[0][2] if e["img_idx"] == 9][0]
         assert len(e9["pred"]) == 1 and abs(e9["pred"][0] - 0.9) < 1e-6
+
+
+class TestCompactedAssembly:
+    """assemble_att_predictions (device-compacted serving path) must emit
+    byte-identical records to get_att_predictions on the same scores."""
+
+    def test_fuzz_equivalence(self):
+        from tvqaplus_tpu.infer.predict import (SCORE_THD,
+                                                assemble_att_predictions)
+        rng = np.random.default_rng(3)
+        B, A, F, LQA, LR, LI = 3, 5, 4, 6, 7, 12
+        for trial in range(10):
+            scores = rng.uniform(-1, 1, (B, A, F, LQA, LR)).astype(
+                np.float32)
+            words = rng.integers(0, 12, (B, A, LQA)).astype(np.int32)
+            obj_ids = {1, 3, 5, 7}
+            qids = list(range(100, 100 + B))
+            vid_names = [f"v{b}" for b in range(B)]
+            img_indices = [[3 + 6 * i for i in range(LI)]
+                           for _ in range(B)]
+            starts = rng.integers(0, 3, B).tolist()
+            n_frames = rng.integers(0, F + 1, B)
+            nb = rng.integers(1, LR + 1, (B, F))
+            boxes = [[[[float(j), 0.0, float(j) + 5, 5.0]
+                       for j in range(nb[b, f])]
+                      for f in range(n_frames[b])] or None
+                     for b in range(B)]
+            base = get_att_predictions(
+                scores, words, obj_ids, qids, vid_names, img_indices,
+                boxes, starts, score_thd=SCORE_THD, scores_local=True,
+                li_total=LI)
+            # numpy mirror of the device compaction (infer_step)
+            valid = np.arange(LR)[None, None] < nb[:, :, None]  # (B,F,LR)
+            vm = valid[:, None, :, None, :]
+            masked = np.where(vm, scores, np.inf)
+            order = np.argsort(masked, axis=-1, kind="stable")
+            sc_sorted = np.take_along_axis(masked, order, axis=-1)
+            n_acc = ((scores >= SCORE_THD) & vm).sum(-1).astype(np.uint8)
+            n_valid = valid.sum(-1).astype(np.uint8)
+            got = assemble_att_predictions(
+                sc_sorted, order.astype(np.int8), n_acc, n_valid,
+                words, obj_ids, qids, vid_names, img_indices, boxes,
+                starts, li_total=LI)
+            assert len(got) == len(base)
+            for g_ex, b_ex in zip(got, base):
+                assert g_ex.keys() == b_ex.keys()
+                for a in g_ex:
+                    assert len(g_ex[a]) == len(b_ex[a])
+                    for gr, br in zip(g_ex[a], b_ex[a]):
+                        assert gr["bbox"] == br["bbox"]
+                        assert gr["pred"] == br["pred"], (trial, a)
+                        assert {k: gr[k] for k in
+                                ("word", "qid", "vid_name", "img_idx")} \
+                            == {k: br[k] for k in
+                                ("word", "qid", "vid_name", "img_idx")}

@@ -1,5 +1,6 @@
 from tvqaplus_tpu.infer.predict import (
     InferenceRunner,
+    assemble_att_predictions,
     get_att_predictions,
     spans_to_seconds,
 )
