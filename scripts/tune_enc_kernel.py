@@ -1,17 +1,30 @@
 """Recalibrate the fused encoder kernel's VMEM model on hardware.
 
 Measures fused-vs-XLA fwd+bwd at each encoder site of the bench config,
-sweeping TVQA_ENC_TAP_COST (the per-tap liveness term of `_seqs_per_cell`).
+sweeping the footprint-model env vars of ``_seqs_per_cell``:
 
-Two hardware facts this script encodes (measured round 4):
+* TVQA_ENC_BWD_BASE — live f32-equivalents/row of the backward.  Round 5
+  restructured the backward into TWO PASSES (layer-0 stash recomputed
+  after layer-1's backward retires) with a bf16 stash under the bf16
+  policy, so the true base should be roughly half the old single-pass 15;
+* TVQA_ENC_TAP_COST — live rotated copies per conv tap (running roll).
+
+Each (base, tap) pick changes rows/cell (bigger cells = fewer launches,
+bigger matmuls — the lever that decides fused-vs-XLA).  A pick that
+under-estimates real liveness OOMs Mosaic's 16 MB scoped stack: the sweep
+catches that and reports MOSAIC-OOM instead of crashing, so the largest
+SAFE pick is read straight off the table.
+
+Hardware facts encoded here (measured round 4):
 * a host-synced dispatch through the axon tunnel costs ~1.5 ms, which
-  swamps the small sites — so each measurement runs the grad step N times
+  swamps the small sites — each measurement runs the grad step N times
   inside ONE jit via lax.scan (the carry perturbs x so XLA cannot CSE the
-  iterations) and divides;
-* the REAL k=7 backward footprint is ~(15 + 3.8*k) live f32 elements/row
-  (a tap_cost=0.5 pick of t=25 at the sub site OOMed Mosaic's 16 MB scoped
-  stack at 26.78 MB), so the sweep skips settings whose measured-calibrated
-  footprint exceeds 15 MB instead of crashing.
+  iterations) and divides.
+
+The ``mrg`` site is the merged-stream input encoder (qa+sub+vid through
+one zero-masked call, stage.py _merged_input_encode): its fused number
+competes against the SUM of the three separate XLA sites — the
+merge_input_streams decision criterion (docs/BENCH.md).
 
 Run on a QUIET TPU host: python scripts/tune_enc_kernel.py
 """
@@ -26,17 +39,18 @@ import numpy as np
 
 from tvqaplus_tpu.utils.timing import timeit_host_synced
 
-# (site, shape (B, G, L, D), k) — bench config: B=16, A=5, Li=50,
-# Lqa=40, Ls=50, Lr=25, D=128 (input_encoder sees the row-merged views)
+# (site, shape (B, G, L, D), k, zero-mask lens or None) — bench config:
+# B=16, A=5, Li=50, Lqa=40, Ls=50, Lr=25, D=128
 SITES = [
-    ("qa  (16,5,40)", (16, 5, 40, 128), 7),
-    ("sub (16,50,50)", (16, 50, 50, 128), 7),
-    ("vid (16,50,25)", (16, 50, 25, 128), 7),
-    ("mrg (16,105,50)", (16, 105, 50, 128), 7),  # merged qa+sub+vid site
-    ("cls (16,250,40)", (16, 250, 40, 128), 5),   # regression guard
+    ("qa ", (16, 5, 40, 128), 7, None),
+    ("sub", (16, 50, 50, 128), 7, None),
+    ("vid", (16, 50, 25, 128), 7, None),
+    ("mrg", (16, 105, 50, 128), 7, [40] * 5 + [50] * 50 + [25] * 50),
+    ("cls", (16, 250, 40, 128), 5, None),   # the #1 single op (bwd)
 ]
 N_INNER = 20          # grad steps per dispatch (amortizes tunnel latency)
-MEASURED_TAP = 3.8    # real f32/row/tap liveness of the k=7 backward
+# (bwd_base, tap_cost) picks, conservative -> aggressive
+SWEEPS = [(15.0, 2.0), (11.0, 1.0), (8.0, 0.5), (6.0, 0.25)]
 
 
 def make_params(d, k, rng):
@@ -70,49 +84,85 @@ def scanned_grad_step(loss, x, p):
     return jax.jit(run)
 
 
-def bench_site(shape, k, tap_cost):
-    from tvqaplus_tpu.ops import pallas_encoder as pe_mod
-    os.environ["TVQA_ENC_TAP_COST"] = str(tap_cost)
+def site_inputs(shape, k, lens):
     b, g, l, d = shape
     rng = np.random.default_rng(0)
     x = jnp.array(rng.standard_normal(shape).astype(np.float32))
     pe = jnp.array(rng.standard_normal((l, d)).astype(np.float32) * 0.1)
     p = make_params(d, k, rng)
-    tg = pe_mod._seqs_per_cell(g, l, d, k)
-    real_fp = 4 * (15 + MEASURED_TAP * k) * tg * l * d
-    if real_fp > 15 * 1024 * 1024:
-        return tg, None, None   # would OOM Mosaic's scoped stack
+    zm = None
+    if lens is not None:
+        zm = jnp.array((np.arange(l)[None, :]
+                        < np.asarray(lens)[:, None]).astype(np.float32))
+    return x, pe, p, zm
+
+
+def bench_fused(shape, k, lens, bwd_base, tap):
+    from tvqaplus_tpu.ops import pallas_encoder as pe_mod
+    os.environ["TVQA_ENC_BWD_BASE"] = str(bwd_base)
+    os.environ["TVQA_ENC_TAP_COST"] = str(tap)
+    b, g, l, d = shape
+    x, pe, p, zm = site_inputs(shape, k, lens)
+    tg = pe_mod._seqs_per_cell(g, l, d, k, bwd=True)
 
     def loss_fused(x, p):
-        return jnp.mean(pe_mod.fused_encoder_block(
-            x, pe, p, jnp.int32(0), k, jnp.bfloat16, 0.1).astype(
-                jnp.float32) ** 2)
+        out = pe_mod.fused_encoder_block(
+            x, pe, p, jnp.int32(0), k, jnp.bfloat16, 0.1, None, zm)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    step = scanned_grad_step(loss_fused, x, p)
+    try:
+        t = timeit_host_synced(lambda: step(x, p), n=5) / N_INNER
+    except Exception as e:  # Mosaic scoped-stack OOM etc.
+        return tg, None, type(e).__name__ + ": " + str(e)[:90]
+    return tg, t, None
+
+
+def bench_xla(shape, k, lens):
+    from tvqaplus_tpu.ops import pallas_encoder as pe_mod
+    x, pe, p, zm = site_inputs(shape, k, lens)
 
     def loss_xla(x, p):
-        return jnp.mean(pe_mod.reference_impl(
-            x.astype(jnp.bfloat16), pe, p, k).astype(jnp.float32) ** 2)
+        out = pe_mod.reference_impl(x.astype(jnp.bfloat16), pe, p, k,
+                                    zero_mask=zm)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
 
-    step_fused = scanned_grad_step(loss_fused, x, p)
-    step_xla = scanned_grad_step(loss_xla, x, p)
-    tp = timeit_host_synced(lambda: step_fused(x, p), n=5) / N_INNER
-    tx = timeit_host_synced(lambda: step_xla(x, p), n=5) / N_INNER
-    return tg, tp, tx
+    step = scanned_grad_step(loss_xla, x, p)
+    return timeit_host_synced(lambda: step(x, p), n=5) / N_INNER
 
 
 def main():
     assert jax.default_backend() == "tpu", "run on the TPU host"
-    for name, shape, k in SITES:
-        for tap_cost in (2.0, 1.0):
-            tg, tp, tx = bench_site(shape, k, tap_cost)
-            if tp is None:
-                print(f"{name} k={k} tap_cost={tap_cost:<4} rows/cell="
-                      f"{tg * shape[2]:<5} SKIPPED (real footprint > 15 MB)",
-                      flush=True)
-                continue
-            print(f"{name} k={k} tap_cost={tap_cost:<4} rows/cell="
-                  f"{tg * shape[2]:<5} fused {tp:7.3f} ms | XLA {tx:7.3f} ms"
-                  f" | {tx / tp:.2f}x", flush=True)
+    xla_ms = {}
+    for name, shape, k, lens in SITES:
+        xla_ms[name] = bench_xla(shape, k, lens)
+        print(f"{name} k={k} XLA fwd+bwd {xla_ms[name]:7.3f} ms",
+              flush=True)
+    print()
+    for name, shape, k, lens in SITES:
+        seen = set()
+        for base, tap in SWEEPS:
+            from tvqaplus_tpu.ops import pallas_encoder as pe_mod
+            os.environ["TVQA_ENC_BWD_BASE"] = str(base)
+            os.environ["TVQA_ENC_TAP_COST"] = str(tap)
+            b, g, l, d = shape
+            if pe_mod._seqs_per_cell(g, l, d, k, bwd=True) in seen:
+                continue  # same block size -> same program, skip recompile
+            tg, t, err = bench_fused(shape, k, lens, base, tap)
+            seen.add(tg)
+            rows = tg * shape[2]
+            if t is None:
+                print(f"{name} k={k} base={base:<4} tap={tap:<4} "
+                      f"rows/cell={rows:<5} FAILED ({err})", flush=True)
+                break  # more aggressive picks would OOM harder
+            print(f"{name} k={k} base={base:<4} tap={tap:<4} "
+                  f"rows/cell={rows:<5} fused {t:7.3f} ms | XLA "
+                  f"{xla_ms[name]:7.3f} ms | {xla_ms[name] / t:.2f}x",
+                  flush=True)
         print()
+    sep = xla_ms["qa "] + xla_ms["sub"] + xla_ms["vid"]
+    print(f"merge decision: separate-XLA total {sep:.3f} ms vs the best "
+          f"mrg fused row above (merge wins if smaller)")
 
 
 if __name__ == "__main__":

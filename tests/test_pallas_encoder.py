@@ -130,3 +130,38 @@ def test_grad_with_bf16_primals():
     gx = jax.grad(loss)(x.astype(bf16))
     assert gx.dtype == bf16
     assert bool(jnp.isfinite(gx.astype(jnp.float32)).all())
+
+
+def test_zero_mask_matches_reference():
+    """zero_mask mode (the merged-stream contract): forward + grads vs the
+    pure-JAX oracle with per-conv input re-zeroing."""
+    x, pe, p = make_inputs(seed=5)
+    rng = np.random.default_rng(6)
+    # per-group true lengths (first len_q positions valid), like
+    # _merged_input_encode's static length mask
+    lens = rng.integers(2, L + 1, G)
+    zm = jnp.array((np.arange(L)[None, :] < lens[:, None])
+                   .astype(np.float32))                   # (G, L)
+
+    def loss_k(x, p):
+        out = pe_mod.fused_encoder_block(
+            x, pe, p, jnp.int32(0), K, jnp.float32, 0.0, None, zm)
+        return out, jnp.sum((out * zm[..., None]) ** 2)
+
+    def loss_r(x, p):
+        out = pe_mod.reference_impl(x, pe, p, K, zero_mask=zm)
+        return out, jnp.sum((out * zm[..., None]) ** 2)
+
+    out_k, out_r = loss_k(x, p)[0], loss_r(x, p)[0]
+    # only the valid positions are contractual (callers slice them out)
+    np.testing.assert_allclose(np.array(out_k * zm[..., None]),
+                               np.array(out_r * zm[..., None]),
+                               rtol=2e-4, atol=2e-4)
+    gk = jax.grad(lambda x, p: loss_k(x, p)[1], argnums=(0, 1))(x, p)
+    gr = jax.grad(lambda x, p: loss_r(x, p)[1], argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.array(gk[0]), np.array(gr[0]),
+                               rtol=1e-3, atol=1e-3)
+    for key in p:
+        np.testing.assert_allclose(np.array(gk[1][key]),
+                                   np.array(gr[1][key]),
+                                   rtol=1e-3, atol=1e-3, err_msg=key)

@@ -170,3 +170,38 @@ def test_param_count_reasonable():
     n = sum(int(np.prod(p.shape))
             for p in jax.tree_util.tree_leaves(variables["params"]))
     assert 400_000 < n < 800_000
+
+
+class TestNounMask:
+    """qa_noun_masks batch key -> structured_attention noun_mask
+    (reference qa_ctx_attention's dormant arg, stage.py:365-380)."""
+
+    def test_all_ones_mask_is_identity(self):
+        batch = tiny_batch()
+        _, base = init_and_run(tiny_cfg(), batch, train=False)
+        batch2 = dict(batch)
+        batch2["qa_noun_masks"] = np.ones((B, A, LQA), np.float32)
+        _, got = init_and_run(tiny_cfg(), batch2, train=False)
+        np.testing.assert_allclose(np.array(got["answer_scores"]),
+                                   np.array(base["answer_scores"]),
+                                   rtol=1e-6)
+
+    def test_zero_mask_changes_attention(self):
+        batch = dict(tiny_batch())
+        batch["qa_noun_masks"] = np.zeros((B, A, LQA), np.float32)
+        _, base = init_and_run(tiny_cfg(), tiny_batch(), train=False)
+        _, got = init_and_run(tiny_cfg(), batch, train=False)
+        assert not np.allclose(np.array(got["answer_scores"]),
+                               np.array(base["answer_scores"]))
+
+    def test_vcpt_keys_ride_along(self):
+        """the dormant vcpt/vcpt_mask batch keys must not disturb the
+        forward (reference ships-but-never-reads them,
+        tvqa_dataset.py:600-605)."""
+        batch = dict(tiny_batch())
+        batch["vcpt"] = np.ones((B, LI, LR), np.int32)
+        batch["vcpt_mask"] = np.ones((B, LI, LR), np.float32)
+        _, base = init_and_run(tiny_cfg(), tiny_batch(), train=False)
+        _, got = init_and_run(tiny_cfg(), batch, train=False)
+        np.testing.assert_allclose(np.array(got["answer_scores"]),
+                                   np.array(base["answer_scores"]))

@@ -207,7 +207,7 @@ class EncoderBlock(nn.Module):
             self.attn = MultiHeadedAttention(self.num_heads, self.dropout,
                                              dtype=self.dtype)
 
-    def _fused(self, x, *, train: bool, reduce_mask=None):
+    def _fused(self, x, *, train: bool, reduce_mask=None, zero_mask=None):
         from tvqaplus_tpu.ops.pallas_encoder import fused_encoder_block
         l, d = x.shape[-2:]
         lead = x.shape[:-2]
@@ -232,7 +232,7 @@ class EncoderBlock(nn.Module):
             reduce_mask.reshape(lead[0], -1, l)
         out = fused_encoder_block(
             xg, pe, params, seed, self.kernel_size, self.dtype,
-            self.dropout if dropout_active else 0.0, rm)
+            self.dropout if dropout_active else 0.0, rm, zero_mask)
         if reduce_mask is not None:
             return out.reshape(lead + (d,))
         return out.reshape(lead + (l, d))
@@ -253,11 +253,17 @@ class EncoderBlock(nn.Module):
         separate per-stream calls exactly (positions past the true length
         are garbage and must be sliced away by the caller)."""
         dropout_active = train and self.dropout > 0.0
+        # the fused kernel takes a 2-D (G, L) zero mask (one row per merged
+        # group, constant over batch — the _merged_input_encode layout)
+        zm_fusable = zero_mask is None or (
+            getattr(zero_mask, "ndim", 0) == 2 and x.ndim == 4
+            and zero_mask.shape == x.shape[1:3])
         if (self.use_pallas and self.num_heads == 0 and self.n_conv == 2
-                and x.ndim >= 3 and zero_mask is None
+                and x.ndim >= 3 and zm_fusable
                 and (not dropout_active
                      or jax.default_backend() == "tpu")):
-            return self._fused(x, train=train, reduce_mask=reduce_mask)
+            return self._fused(x, train=train, reduce_mask=reduce_mask,
+                               zero_mask=zero_mask)
         out = self.pos(x)
         for i in range(self.n_conv):
             residual = out

@@ -130,14 +130,17 @@ class STAGE(nn.Module):
             self.concat_fc = TriMLPBridge(c.hsz, c.dropout, dt,
                                           use_pallas=c.use_pallas)
         self.input_embedding = InputEmbedding(c.hsz, c.dropout, dt)
-        # input_encoder stays on the XLA path: its k=7 sites measured
-        # 0.7-0.9x with the fused kernel (small per-cell row counts at the
-        # VMEM-feasible block sizes) while the k=5 cls_encoder wins 2.1x —
-        # see scripts/check_pallas_tpu.py check_encoder / docs/BENCH.md
+        # the SEPARATE input-encoder sites stay on the XLA path (the k=7
+        # per-stream calls measured 0.6-1.05x with the fused kernel —
+        # scripts/tune_enc_kernel.py / docs/BENCH.md); the MERGED site
+        # (merge_input_streams: all three streams through one call with a
+        # zero_mask) runs the fused kernel — one HBM pass over the padded
+        # bytes is exactly what makes the merge profitable
         self.input_encoder = StackedEncoder(
             c.input_encoder_n_blocks, c.input_encoder_n_conv,
             c.input_encoder_kernel_size, c.input_encoder_n_heads,
-            c.dropout, dt, use_pallas=False)
+            c.dropout, dt,
+            use_pallas=c.use_pallas and c.merge_input_streams)
         self.c2q_down_projection = DownProjection(3 * c.hsz, c.hsz,
                                                   c.dropout, dt)
         self.cls_encoder = StackedEncoder(
@@ -227,7 +230,7 @@ class STAGE(nn.Module):
 
     def qa_ctx_attention(self, qa_embed, ctx_embed, qa_mask, ctx_mask, *,
                          train, use_void=False, need_raw=True,
-                         targets=None):
+                         targets=None, noun_mask=None):
         """Structured attention + BiDAF-style fusion
         (reference stage.py:365-387).
 
@@ -244,7 +247,7 @@ class STAGE(nn.Module):
         c = self.cfg
         use_void = use_void and c.non_visual > 0
         dropout_active = train and c.dropout > 0.0
-        kernel_ok = c.use_pallas and not use_void and (
+        kernel_ok = c.use_pallas and not use_void and noun_mask is None and (
             not dropout_active or jax.default_backend() == "tpu")
         if kernel_ok:
             from tvqaplus_tpu.ops.pallas_attention import \
@@ -280,7 +283,8 @@ class STAGE(nn.Module):
         u_a, raw_s, s_mask, s_norm = structured_attention(
             qa_embed, ctx_embed, qa_mask, ctx_mask, scale=c.scale,
             dropout_rate=c.dropout if train else 0.0, dropout_rng=rng,
-            void_vector=void, add_void=c.add_non_visual)
+            noun_mask=noun_mask, void_vector=void,
+            add_void=c.add_non_visual)
         num_img = ctx_mask.shape[2]
         qa_b = jnp.broadcast_to(
             qa_embed, qa_embed.shape[:2] + (num_img,) + qa_embed.shape[3:])
@@ -332,7 +336,11 @@ class STAGE(nn.Module):
         # batch) all three streams run through ONE input_encoder call —
         # see _merged_input_encode; the separate path below is the
         # reference-shaped fallback (and the non-dedup configs').
+        # heads > 0 would run the encoder's attention branch with mask=None
+        # on the merged view (losing the per-example mask) — fall back to
+        # the exact separate-stream path there (ADVICE r4)
         merged = (c.merge_input_streams and c.sub_flag and c.vfeat_flag
+                  and c.input_encoder_n_heads == 0
                   and "sub_tokens" in batch)
         sub_embed = vid_embed = None
         if merged:
@@ -384,12 +392,17 @@ class STAGE(nn.Module):
 
         attended_sub = attended_vid = None
         attended_sub_mask = attended_vid_mask = None
+        # optional noun-position gate on the similarity rows (reference
+        # qa_ctx_attention's noun_mask arg, stage.py:365-380; always None
+        # in the reference — wired here when the batch carries the masks)
+        noun_mask = batch.get("qa_noun_masks")
         if c.sub_flag:
             sub_embed = sub_embed[:, None]              # (B, 1, Li, Ls, h)
             sub_mask = batch["sub_mask"][:, None]
             attended_sub, attended_sub_mask, sub_raw_s, sub_norm_s = \
                 self.qa_ctx_attention(a_embed, sub_embed, a_mask, sub_mask,
-                                      train=train, need_raw=need_sub_raw)
+                                      train=train, need_raw=need_sub_raw,
+                                      noun_mask=noun_mask)
             if need_sub_raw:
                 out["sub_raw_s"] = sub_raw_s
                 out["sub_normalized_s"] = sub_norm_s
@@ -402,7 +415,8 @@ class STAGE(nn.Module):
                                       train=train,
                                       use_void=c.non_visual > 0,
                                       need_raw=need_vid_raw,
-                                      targets=batch.get("target"))
+                                      targets=batch.get("target"),
+                                      noun_mask=noun_mask)
             if need_vid_raw == "target":
                 out["vid_raw_target_s"] = vid_raw_s   # (B, Li, Lqa, Lr)
             elif need_vid_raw:
