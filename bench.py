@@ -96,8 +96,14 @@ def fused_kernel_flops(cfg, li, lr_sub, lr_vid):
         bwd = fwd + 2 * (2 * rows * d * d + 2 * rows * d * d)
         return fwd + bwd, fwd
 
-    enc, enc_rec = encoder(rows)  # cls_encoder only (input_encoder stays on
-    #                       XLA — its k=7 sites lose with the kernel)
+    enc, enc_rec = encoder(rows)  # cls_encoder (the separate input_encoder
+    #                       sites stay on XLA — k=7 loses with the kernel)
+    if getattr(cfg, "merge_input_streams", False):
+        # merged input encoder runs the fused kernel over ONE
+        # (B, A+2*Li, Lmax, D) call (stage.py _merged_input_encode)
+        lmax = max(cfg.max_qa_l, cfg.max_sub_l, cfg.num_region)
+        m_enc, m_rec = encoder(b * (a + 2 * li) * lmax)
+        enc, enc_rec = enc + m_enc, enc_rec + m_rec
     s_sub, r_sub = stream(lr_sub)
     s_vid, r_vid = stream(lr_vid)
     executed = s_sub + s_vid + tri_fwd + tri_bwd + enc
@@ -118,7 +124,8 @@ def run_bench(li, k, compute_dtype, use_pallas, bsz=16, hard_neg=False):
     cfg = Config(bsz=bsz, test_bsz=bsz, use_sup_att=True, add_local=True,
                  synthetic_data=True, results_dir_base="results/bench",
                  compute_dtype=compute_dtype, use_pallas=use_pallas,
-                 img_buckets=[li])
+                 img_buckets=[li],
+                 merge_input_streams=os.environ.get("BENCH_MERGE", "0") == "1")
     cfg.finalize(save=False)
 
     mesh = make_mesh((1, 1), devices=jax.devices()[:1])  # per-chip number
@@ -186,6 +193,7 @@ def detail_line(r, k, compute_dtype, use_pallas, baseline):
          f"step_ms={1000*r['step_s']:.3f} "
          f"steps_per_dispatch={k} dtype={compute_dtype} "
          f"pallas={use_pallas}"
+         f"{' merge=True' if os.environ.get('BENCH_MERGE', '0') == '1' else ''}"
          f"{' hard_neg=True' if r.get('hard_neg') else ''}"
          f" torch_cpu_baseline={baseline}")
     if r["executed_flops"]:

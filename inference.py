@@ -32,6 +32,10 @@ EXTRA_FLAGS = (
     ("--torch_checkpoint", dict(type=str, default="",
                                 help="load a reference best_valid.pth "
                                      "instead of a flax checkpoint")),
+    ("--checkpoint", dict(type=str, default="",
+                          help="serve a specific checkpoint file (name "
+                               "relative to the run dir, e.g. last.ckpt) "
+                               "instead of best_valid.ckpt")),
 )
 
 
@@ -51,6 +55,11 @@ def main_inference(argv=None):
             load_reference_checkpoint
         params = load_reference_checkpoint(extras.torch_checkpoint, cfg)
         state = trainer.state.replace(params=params)
+    elif getattr(extras, "checkpoint", ""):
+        ckpt = extras.checkpoint
+        if not os.path.isabs(ckpt):
+            ckpt = os.path.join(run_dir, ckpt)
+        state, _ = load_checkpoint(ckpt, trainer.state)
     else:
         ckpt = os.path.join(run_dir, "best_valid.ckpt")
         if not os.path.exists(ckpt):

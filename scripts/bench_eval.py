@@ -45,7 +45,7 @@ if RUN_FWD:
 
 def bench_end_to_end(n_examples=256, grounding=False, li=50,
                      frame_interval=6, tag="", qas_per_video=1,
-                     video_dedup=False):
+                     video_dedup=False, sub_buckets=True):
     """Full InferenceRunner serving loop over synthetic examples: host
     collation + upload + device step + host prediction assembly.  Wall
     clock is valid here — the runner host-fetches every batch's outputs."""
@@ -60,7 +60,8 @@ def bench_end_to_end(n_examples=256, grounding=False, li=50,
                  # per-batch St buckets cut the upload (the wall on this
                  # tunnel host, ~47 MB/s — docs/BENCH.md)
                  max_sub_tokens=st_cap,
-                 sub_token_buckets=[st_cap // 2, st_cap * 3 // 4],
+                 sub_token_buckets=(
+                     [st_cap // 2, st_cap * 3 // 4] if sub_buckets else []),
                  video_dedup=video_dedup,
                  compute_dtype="bfloat16", use_pallas=True)
     cfg.finalize(save=False)
@@ -97,6 +98,13 @@ def bench_end_to_end(n_examples=256, grounding=False, li=50,
 
 if RUN_QA:
     bench_end_to_end(grounding=False)
+if os.environ.get("BENCH_EVAL_AB", "0") == "1":
+    # on/off deltas for the two serving features (docs/BENCH.md publishes
+    # these rows; the shipped defaults must match the measured winners)
+    bench_end_to_end(grounding=False, sub_buckets=False,
+                     tag=" st_buckets=off")
+    bench_end_to_end(grounding=False, qas_per_video=7, video_dedup=False,
+                     tag=" qpv=7,vdedup=off")
 if os.environ.get("BENCH_EVAL_VDEDUP", "1") == "1":
     # the real-data layout (~7 QAs/clip) + batch-level video dedup: each
     # unique clip's vid/sub_tokens upload once per batch

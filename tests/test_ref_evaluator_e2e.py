@@ -2,30 +2,57 @@
 (VERDICT r2 missing #1): reference-format artifacts -> main.py ->
 inference.py -> subprocess ``/root/reference/eval/eval_tvqa_plus.py`` ->
 four parsed metrics.  The full-dims variant runs via
-``python scripts/ref_eval_e2e.py --full`` (same harness)."""
+``python scripts/ref_eval_e2e.py --full`` (same harness).
+
+Train/inference run as SUBPROCESSES with a sanitized env: the conftest's
+``--xla_force_host_platform_device_count=8`` partitioning changes XLA CPU
+op scheduling enough to land this tiny chaotic training run in a worse
+optimum (measured byte-identical repro: 8-virtual-device qa/grd/miou
+0.67/0.4/0.28 vs 1-device 1.0/1.0/0.76 from the same seed), so the quality
+bars are pinned to the 1-device configuration the standalone harness
+uses."""
 import os
+import re
+import subprocess
 import sys
 
 import pytest
 
-import main as train_main
-import inference as infer_main
-
 REF_EVAL = "/root/reference/eval/eval_tvqa_plus.py"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 pytestmark = pytest.mark.skipif(not os.path.isfile(REF_EVAL),
                                 reason="reference checkout not available")
 
 
+def _run_cli(script, flags):
+    env = dict(os.environ)
+    env["TVQA_FORCE_PLATFORM"] = "cpu"
+    # drop the conftest's 8-virtual-device partitioning; keep nothing else
+    # of XLA_FLAGS (the collective timeouts only matter multi-device)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run([sys.executable, os.path.join(REPO, script)] + flags,
+                       env=env, cwd=REPO, capture_output=True, text=True)
+    assert r.returncode == 0, f"{script} failed:\n{r.stdout}\n{r.stderr}"
+    return r.stdout
+
+
 @pytest.mark.slow
-def test_reference_evaluator_scores_our_predictions(tmp_path, monkeypatch):
+def test_reference_evaluator_scores_our_predictions(tmp_path):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "scripts"))
     from ref_eval_e2e import run_reference_evaluator
     from tvqaplus_tpu.data.fixtures import gt_as_prediction, write_artifacts
 
-    paths = write_artifacts(str(tmp_path / "artifacts"), n_videos=6,
+    # MEMORIZATION split (split="overlap"): the valid videos also train, so
+    # the quality bars below are pipeline-regression teeth on seen data —
+    # robust at CPU-test scale, where 6-QA *generalization* is noise
+    # (measured: disjoint-split qa_acc swings 0.17-0.83 across equivalent
+    # configs).  Generalization at full dims is the harness's job
+    # (scripts/ref_eval_e2e.py --full -> results_golden/).
+    paths = write_artifacts(str(tmp_path / "artifacts"), n_videos=12,
                             qa_per_video=2, frames_per_video=42,
-                            bert_dim=24, vfeat_dim=12, num_region=5)
+                            bert_dim=64, vfeat_dim=32, num_region=5,
+                            split="overlap")
 
     # evaluator self-check: GT-as-prediction must score ~1.0 on all four
     # metrics (reference eval/readme.txt:9-18)
@@ -36,18 +63,28 @@ def test_reference_evaluator_scores_our_predictions(tmp_path, monkeypatch):
     assert chk["qa_acc"] == 1.0 and chk["grd_map"] > 0.99 \
         and chk["miou"] > 0.99 and chk["asa"] > 0.99, chk
 
-    # train on the same artifacts (in-process, CPU mesh); the fixture
-    # plants a learnable signal (fixtures.py), so a few epochs must beat
-    # chance — this guards TRAINING QUALITY, not just format compatibility
-    monkeypatch.chdir(tmp_path)
+    # train on the same artifacts; the fixture plants a learnable signal
+    # (fixtures.py), so the run must beat chance — this guards TRAINING
+    # QUALITY, not just format compatibility.
+    # max_es_cnt lifted: acc saturates early under the overlap split and
+    # the span head needs the later epochs (the CPU cost is compile-bound,
+    # extra epochs are cheap); inference runs the END-of-training state
+    # (--checkpoint last.ckpt) because best_valid.ckpt freezes at the
+    # first acc-saturating epoch, before ts_loss has fit
     flags = [f"--{k}={v}" for k, v in paths.items()] + [
-        "--embedding_size=24", "--vfeat_size=12", "--num_region=5",
-        "--hsz=16", "--n_epoch=4", "--log_freq=2", "--bsz=4",
-        "--test_bsz=4", "--use_sup_att", "--add_local", "--no_core_driver",
-        "--results_dir_base", str(tmp_path / "run")]
-    results_dir, _ = train_main.main(flags)
-    pred_path = infer_main.main_inference(
-        flags + ["--model_dir", results_dir, "--mode", "valid"])
+        "--embedding_size=64", "--vfeat_size=32", "--num_region=5",
+        "--hsz=32", "--n_epoch=50", "--max_es_cnt=40", "--log_freq=6",
+        "--bsz=4", "--test_bsz=4", "--use_sup_att", "--add_local",
+        "--no_core_driver", "--results_dir_base", str(tmp_path / "run")]
+    out = _run_cli("main.py", flags)
+    m_dir = re.search(r"Results dir: (\S+)", out)
+    assert m_dir, f"main.py printed no results dir:\n{out[-2000:]}"
+    results_dir = m_dir.group(1)
+    _run_cli("inference.py",
+             flags + ["--model_dir", results_dir, "--mode", "valid",
+                      "--checkpoint", "last.ckpt"])
+    pred_path = os.path.join(results_dir, "valid_inference_predictions.json")
+    assert os.path.isfile(pred_path)
 
     # the UNMODIFIED evaluator must parse our JSON end-to-end (arg parsing,
     # load_predictions GT-answer keying, label cleaning, VOC eval) and
@@ -56,5 +93,15 @@ def test_reference_evaluator_scores_our_predictions(tmp_path, monkeypatch):
                                 paths["word2idx_path"])
     assert set(m) == {"qa_acc", "grd_map", "miou", "asa"}
     assert all(0.0 <= v <= 1.0 for v in m.values()), m
-    # planted-signal quality bar: chance is 0.2 (5 answers)
-    assert m["qa_acc"] >= 0.5, f"planted signal not learned: {m}"
+    # memorized-signal quality bars (chance qa_acc is 0.2).  The fixture
+    # plants a question-conditional span signal (in-span regions carry the
+    # question object's concept — answer-orthogonal, so it cannot leak into
+    # QA discrimination), grid-snapped GT spans (off-grid spans cap per-QA
+    # temporal IoU near 0.5, drowning the bar in discretization noise), and
+    # a GT-box answer signal — a regression in the temporal head (ts_loss),
+    # the supervised-attention loss, or the grounding-record assembly now
+    # fails this test instead of shipping green behind an intact qa_acc
+    assert m["qa_acc"] >= 0.75, f"planted QA signal not learned: {m}"
+    assert m["miou"] >= 0.5, f"temporal span signal not learned: {m}"
+    assert m["grd_map"] >= 0.7, f"grounding signal not learned: {m}"
+    assert m["asa"] >= 0.4, f"answer-span joint accuracy regressed: {m}"

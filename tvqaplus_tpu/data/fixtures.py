@@ -45,7 +45,7 @@ def _question(rng, obj):
 
 def write_artifacts(root, n_videos=8, qa_per_video=2, frames_per_video=60,
                     bert_dim=768, vfeat_dim=300, num_region=12, seed=0,
-                    signal=2.0):
+                    signal=2.0, split="disjoint"):
     """Write the full artifact set under ``root``; returns the path dict.
 
     Videos are ``fx_ep{i}_clip{i}`` with ``frames_per_video`` frames at
@@ -99,24 +99,66 @@ def write_artifacts(root, n_videos=8, qa_per_video=2, frames_per_video=60,
         feats = rng.standard_normal(
             (int(counts.sum()), vfeat_dim)).astype(np.float32)
 
-        # QA pairs over this video
+        # QA pairs over this video — distinct answer objects so the
+        # span-conditional signals of co-hosted QAs don't alias; distractor
+        # answers and question objects exclude ALL of this video's QA
+        # objects (their concepts live in the shared video features, so a
+        # colliding distractor would look video-supported)
+        qa_objs = rng.choice(OBJECTS, size=qa_per_video, replace=False)
+        other = [o for o in OBJECTS if o not in set(qa_objs)]
+        # per-QA QUESTION objects (distinct within the video): the temporal
+        # signal is planted in the question object's concept, keeping span
+        # learnability orthogonal to answer discrimination (a dense
+        # answer-concept video signal measurably degrades QA learning —
+        # the model leans on the noisy video match instead of the clean
+        # answer-token match)
+        q_objs = rng.choice(other, size=qa_per_video, replace=False)
         for k in range(qa_per_video):
             qid += 1
-            obj = str(rng.choice(OBJECTS))
+            obj = str(qa_objs[k])
+            qobj = str(q_objs[k])
             ans_idx = int(rng.integers(0, 5))
-            answers = [f"a {str(rng.choice(OBJECTS))}" for _ in range(5)]
+            answers = [f"a {str(rng.choice(other))}" for _ in range(5)]
             answers[ans_idx] = f"a {obj}"
-            q = _question(rng, str(rng.choice(OBJECTS)))
-            st_s = float(rng.uniform(0, dur * 0.6))
-            ed_s = float(min(dur, st_s + rng.uniform(2.0, dur * 0.4)))
+            q = _question(rng, qobj)
+            # GT spans SNAPPED to the 0.5 fps slot grid so the ts LABEL and
+            # the prediction-seconds map agree.  The reference uses two
+            # different slot conventions (replicated here): get_ts_label
+            # searchsorts 3*seconds against 0-indexed frame numbers 6k+2
+            # (slot k "at" 2k+0.667 s, tvqa_dataset.py:242-252), while
+            # spans_to_seconds maps slot k back to [2k+1, 2k+3]
+            # (inference.py:38-42).  A GT span must sit where BOTH place
+            # slots [a, b]: st in (2a-1.33, 2a+0.667], ed in
+            # [2b+0.667, 2b+2.667) — off-grid or exactly-on-image-time
+            # spans land one slot off in the label, capping the reachable
+            # temporal IoU and making the e2e bars chaotic (a perfectly
+            # memorized model measured miou 0.077: every span exactly one
+            # slot late).  st=2a+0.6 / ed=2b+2.6 give a perfectly
+            # memorized model IoU 0.82 (1 slot) - 0.875 (2 slots).
+            b_max = max(1, int((dur - 2.61) // 2))
+            a_slot = int(rng.integers(0, b_max))
+            b_slot = min(b_max, a_slot + int(rng.integers(1, 3)))
+            st_s = 2.0 * a_slot + 0.6
+            ed_s = 2.0 * b_slot + 2.6
             # grid images (1-indexed, interval 6, phase 3) inside the span
             grid = [i for i in range(3, n_frames + 1, 6)]
             span_imgs = [i for i in grid if st_s * 3 <= i <= ed_s * 3] or \
                 [min(grid, key=lambda g: abs(g - st_s * 3))]
-            # GT boxes: pick an existing vcpt region per span image, relabel
-            # it to the answer object, plant the signal in its features
             bbox = {}
             offsets = np.cumsum([0] + counts.tolist())
+            # span-conditional TEMPORAL signal: every region of every
+            # in-span frame carries the QUESTION object's concept, so the
+            # residual temporal predictor has a learnable start/end
+            # boundary (the st/ed CE of reference stage.py:549-555 needs
+            # per-frame separability, not just the single GT-box region
+            # the grounding loss uses).  Question-conditional, NOT
+            # answer-conditional — see q_objs above.
+            for fi in range(n_frames):
+                if st_s * 3.0 <= fi + 1 <= ed_s * 3.0:
+                    feats[offsets[fi]:offsets[fi + 1]] += \
+                        0.5 * signal * concept_v[qobj]
+            # GT boxes: pick an existing vcpt region per span image, relabel
+            # it to the answer object, plant the signal in its features
             for img_id in span_imgs:
                 fi = img_id - 1
                 ri = int(rng.integers(0, counts[fi]))
@@ -129,7 +171,10 @@ def write_artifacts(root, n_videos=8, qa_per_video=2, frames_per_video=60,
             # plant the answer-token signal
             q_toks = rng.standard_normal(
                 (len(q.split()), bert_dim)).astype(np.float32)
-            qa_bert[f"{qid}_q"] = q_toks + 0.5 * signal * concept[obj]
+            # answer concept keys the QA signal; question-object concept
+            # keys the temporal signal (matches the in-span video regions)
+            qa_bert[f"{qid}_q"] = (q_toks + 0.5 * signal * concept[obj]
+                                   + 0.5 * signal * concept[qobj])
             for a in range(5):
                 t = rng.standard_normal(
                     (len(answers[a].split()), bert_dim)).astype(np.float32)
@@ -150,8 +195,18 @@ def write_artifacts(root, n_videos=8, qa_per_video=2, frames_per_video=60,
                 **{f"a{a}_len": len(answers[a].split()) for a in range(5)},
                 "answer_idx": ans_idx, "ts": [st_s, ed_s], "bbox": bbox,
             }
-            (valid_qa if vi >= n_videos - max(1, n_videos // 4)
-             else train_qa).append(entry)
+            if split == "overlap":
+                # MEMORIZATION split (pipeline-regression teeth): the tail
+                # videos' QAs appear in BOTH sets, so small CPU runs can
+                # assert high bars on seen data instead of noise-dominated
+                # few-QA generalization (that role belongs to the
+                # full-dims harness, scripts/ref_eval_e2e.py --full)
+                train_qa.append(entry)
+                if vi >= n_videos - max(1, n_videos // 4):
+                    valid_qa.append(entry)
+            else:
+                (valid_qa if vi >= n_videos - max(1, n_videos // 4)
+                 else train_qa).append(entry)
 
         sub_bert[vid] = stream
         vid_feat[vid] = feats
