@@ -114,7 +114,7 @@ def bench_fused(shape, k, lens, bwd_base, tap):
     try:
         t = timeit_host_synced(lambda: step(x, p), n=5) / N_INNER
     except Exception as e:  # Mosaic scoped-stack OOM etc.
-        return tg, None, type(e).__name__ + ": " + str(e)[:90]
+        return tg, None, type(e).__name__ + ": " + str(e)[:300]
     return tg, t, None
 
 
@@ -133,13 +133,16 @@ def bench_xla(shape, k, lens):
 
 def main():
     assert jax.default_backend() == "tpu", "run on the TPU host"
+    only = os.environ.get("TVQA_TUNE_SITES", "")
+    sites = [s for s in SITES
+             if not only or s[0].strip() in only.split(",")]
     xla_ms = {}
-    for name, shape, k, lens in SITES:
+    for name, shape, k, lens in sites:
         xla_ms[name] = bench_xla(shape, k, lens)
         print(f"{name} k={k} XLA fwd+bwd {xla_ms[name]:7.3f} ms",
               flush=True)
     print()
-    for name, shape, k, lens in SITES:
+    for name, shape, k, lens in sites:
         seen = set()
         for base, tap in SWEEPS:
             from tvqaplus_tpu.ops import pallas_encoder as pe_mod
@@ -160,9 +163,10 @@ def main():
                   f"{xla_ms[name]:7.3f} ms | {xla_ms[name] / t:.2f}x",
                   flush=True)
         print()
-    sep = xla_ms["qa "] + xla_ms["sub"] + xla_ms["vid"]
-    print(f"merge decision: separate-XLA total {sep:.3f} ms vs the best "
-          f"mrg fused row above (merge wins if smaller)")
+    if all(s in xla_ms for s in ("qa ", "sub", "vid")):
+        sep = xla_ms["qa "] + xla_ms["sub"] + xla_ms["vid"]
+        print(f"merge decision: separate-XLA total {sep:.3f} ms vs the "
+              f"best mrg fused row above (merge wins if smaller)")
 
 
 if __name__ == "__main__":

@@ -302,7 +302,7 @@ def _fwd_kernel(seed_ref, x_ref, pe_ref, *refs, k, dropout_rate,
             pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
     x3 = x_ref[0].astype(jnp.float32)
     pe = pe_ref[...].astype(jnp.float32)                 # (L, D) broadcast
-    v2 = zm_ref[...].reshape(tg * l, 1) if zmask else None
+    v2 = zm_ref[0].reshape(tg * l, 1) if zmask else None
     f = _block_fwd(x3, pe, _kernel_params(param_refs), k, compute_dtype,
                    dropout_rate, v2=v2)
     if reduce:
@@ -349,7 +349,7 @@ def _bwd_kernel(seed_ref, x_ref, pe_ref, *refs, k, dropout_rate,
     params = _kernel_params(param_refs)
     x3 = x_ref[0].astype(jnp.float32)
     pe = pe_ref[...].astype(jnp.float32)
-    v2 = zm_ref[...].reshape(rows, 1) if zmask else None
+    v2 = zm_ref[0].reshape(rows, 1) if zmask else None
     masks = _seq_masks(rows, l, k)
     masks2 = _combined_masks(masks, v2, k)
     h0 = (x3 + pe).reshape(rows, d)
@@ -433,8 +433,12 @@ def _reduce_operand_spec(reduce_mask, bsz, g, l, tg):
 
 
 def _zmask_operand(zero_mask, g, l, tg):
-    zm = jnp.asarray(zero_mask, jnp.float32).reshape(g, l)
-    spec = pl.BlockSpec((tg, l), lambda i, j, s: (j, 0))
+    """(G, L) zero mask as a (1, G, L, 1) operand with a (1, tg, L, 1)
+    block — the same Mosaic-legal layout as the reduce mask (a 2D
+    (tg, L) block is rejected whenever tg isn't a multiple of 8: the
+    block's second-to-last dim must divide 8 or equal the array's)."""
+    zm = jnp.asarray(zero_mask, jnp.float32).reshape(1, g, l, 1)
+    spec = pl.BlockSpec((1, tg, l, 1), lambda i, j, s: (0, j, 0, 0))
     return zm, spec
 
 
